@@ -1,0 +1,181 @@
+"""Typed, immutable configuration and model-parameter pytrees.
+
+The reference threads three mutable dicts ``(trials, params, config)`` through
+every function and *silently discards* unknown config kwargs
+(``vlgp/preprocess.py:84-112``).  Here config is a frozen dataclass used as a
+static jit argument (unknown keys raise), and model parameters are an
+immutable flax pytree (``vlgp/preprocess.py:49-81`` for the defaults).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+__all__ = ["Config", "Params", "default_config"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Fit options (reference defaults: ``vlgp/preprocess.py:84-112``).
+
+    Static under jit — every field must be hashable.
+    """
+
+    # identifiability constraints (core.py:366-416)
+    constrain_loading: str = "fro"  # "fro" | "svd" | <ord> | "none"
+    constrain_latent: str = "none"  # "none" | "location" | "scale" | "both"
+    # optimization
+    use_hessian: bool = True
+    eps: float = 1e-8
+    tol: float = 1e-8
+    min_iter: int = 5
+    method: str = "VB"  # "VB" | "MAP"
+    learning_rate: float = 1.0
+    max_iter: int = 20
+    Eniter: int = 25
+    Mniter: int = 25
+    Hstep: bool = True
+    # update clipping (core.py:91, 200, 218)
+    da_bound: float = 5.0
+    db_bound: float = 5.0
+    dmu_bound: float = 5.0
+    # hyperparameter search box for omega = 1/(2*timescale^2) (gp.py:84)
+    omega_bound: Tuple[float, float] = (5e-4, 5e-2)
+    # trial segmentation window (util.py:457-499)
+    window: int = 50
+    # H-step optimizer: fixed-iteration golden section on log-omega
+    hyper_iters: int = 24
+    # checkpointing
+    saving_interval: float = 1800.0
+    path: Optional[str] = None
+    # numerics
+    dtype: str = "float32"
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.method not in ("VB", "MAP"):
+            raise ValueError(f"method must be 'VB' or 'MAP', got {self.method!r}")
+        if self.window is not None and self.window < 1:
+            raise ValueError("window must be a positive int or None")
+        if self.max_iter < 1:
+            raise ValueError("max_iter must be >= 1")
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config(**kwargs) -> Config:
+    """Build a :class:`Config`, raising on unknown keys.
+
+    Deliberate improvement over the reference, which drops unknown kwargs on
+    the floor (``vlgp/preprocess.py:108``).
+    """
+    valid = {f.name for f in dataclasses.fields(Config)}
+    unknown = set(kwargs) - valid
+    if unknown:
+        raise TypeError(f"unknown config option(s): {sorted(unknown)}")
+    return Config(**kwargs)
+
+
+class Params(struct.PyTreeNode):
+    """Model parameters (reference ``params`` dict, ``vlgp/preprocess.py:49-81``).
+
+    Immutable pytree; dims are implied by array shapes:
+      a        (zdim, ydim)   loading matrix
+      b        (xdim, ydim)   bias / history filter coefficients
+      noise    (ydim,)        Gaussian channel observation variance
+      sigma    (zdim,)        GP output scale
+      omega    (zdim,)        GP inverse squared lengthscale 1/(2*tau^2)
+      poisson  (ydim,) bool   per-channel likelihood mask (True=poisson)
+      da, db                  last M-step updates (convergence check)
+    """
+
+    a: jnp.ndarray
+    b: jnp.ndarray
+    noise: jnp.ndarray
+    sigma: jnp.ndarray
+    omega: jnp.ndarray
+    poisson: jnp.ndarray
+    da: jnp.ndarray
+    db: jnp.ndarray
+    # scalar model constants (treated as leaves so they ride the pytree)
+    gp_noise: float = struct.field(pytree_node=False, default=1e-4)
+    dt: float = struct.field(pytree_node=False, default=1.0)
+    rank: int = struct.field(pytree_node=False, default=50)
+
+    @property
+    def zdim(self) -> int:
+        return self.a.shape[0]
+
+    @property
+    def ydim(self) -> int:
+        return self.a.shape[1]
+
+    @property
+    def xdim(self) -> int:
+        return self.b.shape[0]
+
+
+def make_params(
+    ydim: int,
+    zdim: int,
+    xdim: int = 1,
+    likelihood: Sequence[str] | str = "poisson",
+    *,
+    a: Optional[jnp.ndarray] = None,
+    b: Optional[jnp.ndarray] = None,
+    noise: Optional[jnp.ndarray] = None,
+    sigma: Optional[jnp.ndarray] = None,
+    omega: Optional[jnp.ndarray] = None,
+    omega_bound: Tuple[float, float] = (5e-4, 5e-2),
+    rank: int = 50,
+    gp_noise: float = 1e-4,
+    dt: float = 1.0,
+    dtype=jnp.float32,
+) -> Params:
+    """Parameter defaults, mirroring ``vlgp/preprocess.py:49-81``.
+
+    omega defaults to the *upper* omega bound (shortest allowed timescale),
+    as the reference does (``preprocess.py:74``).
+    """
+    if isinstance(likelihood, str):
+        likelihood = [likelihood] * ydim
+    if len(likelihood) != ydim:
+        raise ValueError("likelihood must have one entry per channel")
+    for lik in likelihood:
+        if lik not in ("poisson", "gaussian"):
+            raise ValueError(f"unknown likelihood {lik!r}")
+    poisson = jnp.asarray([lik == "poisson" for lik in likelihood])
+    a = jnp.zeros((zdim, ydim), dtype) if a is None else jnp.asarray(a, dtype)
+    b = jnp.zeros((xdim, ydim), dtype) if b is None else jnp.asarray(b, dtype)
+    noise = (
+        jnp.ones((ydim,), dtype) if noise is None else jnp.asarray(noise, dtype)
+    )
+    sigma = (
+        jnp.ones((zdim,), dtype) if sigma is None else jnp.asarray(sigma, dtype)
+    )
+    omega = (
+        jnp.full((zdim,), omega_bound[1], dtype)
+        if omega is None
+        else jnp.asarray(omega, dtype)
+    )
+    return Params(
+        a=a,
+        b=b,
+        noise=noise,
+        sigma=sigma,
+        omega=omega,
+        poisson=poisson,
+        da=jnp.zeros_like(a),
+        db=jnp.zeros_like(b),
+        gp_noise=gp_noise,
+        dt=dt,
+        rank=rank,
+    )

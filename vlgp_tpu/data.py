@@ -1,0 +1,230 @@
+"""Trial container, padding/masking, and segmentation.
+
+The reference keeps trials as a list of mutable dicts with ragged lengths
+(``vlgp/preprocess.py:115-121``) and cuts them into window-sized overlapping
+segments for training (``vlgp/util.py:457-499``).  Here trials are packed
+into one padded, masked, statically-shaped pytree so every EM phase is a
+single batched XLA computation:
+
+  * ragged lengths -> pad to a common T with a (N, T) {0,1} mask;
+  * the SE kernel is stationary on a regular grid, so a low-rank prior
+    factor built for the padded length restricted to the valid prefix is a
+    valid factor for the true length — one factor set per container, no
+    per-length cache (replaces ``params['cholesky'][length]``, gp.py:150-162);
+  * segmentation produces an exactly-static (S, window, ...) container, the
+    shape the hot VEM loop compiles against.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+__all__ = ["TrialSet", "pack_trials", "cut_trials", "scatter_segments", "unpack_trials"]
+
+
+class TrialSet(struct.PyTreeNode):
+    """Padded batch of trials (or segments).
+
+    y     (N, T, ydim)        observations
+    x     (N, T, xdim, ydim)  per-channel regressors (constant 1 by default)
+    mask  (N, T)              1.0 on valid bins, 0.0 on padding
+    mu    (N, T, zdim)        posterior mean of latents
+    w     (N, T, zdim)        likelihood precision weights (core.py:419-442)
+    v     (N, T, zdim)        marginal posterior variance (core.py:445-471)
+    dmu   (N, T, zdim)        last E-step update (convergence check)
+    trial_idx (N,) int32      parent trial index (segments) or arange (trials)
+    start     (N,) int32      offset of this row within its parent trial
+    lengths   (N,) int32      true (unpadded) length of each row
+    """
+
+    y: jnp.ndarray
+    x: jnp.ndarray
+    mask: jnp.ndarray
+    mu: jnp.ndarray
+    w: jnp.ndarray
+    v: jnp.ndarray
+    dmu: jnp.ndarray
+    trial_idx: jnp.ndarray
+    start: jnp.ndarray
+    lengths: jnp.ndarray
+
+    @property
+    def ntrial(self) -> int:
+        return self.y.shape[0]
+
+    @property
+    def nbin(self) -> int:
+        return self.y.shape[1]
+
+    @property
+    def ydim(self) -> int:
+        return self.y.shape[2]
+
+    @property
+    def zdim(self) -> int:
+        return self.mu.shape[2]
+
+
+def pack_trials(
+    trials: Sequence[dict],
+    zdim: int,
+    xdim: int = 1,
+    *,
+    dtype=np.float32,
+    pad_multiple: int = 1,
+) -> TrialSet:
+    """Pack a reference-style list of trial dicts into a :class:`TrialSet`.
+
+    Each trial dict must carry ``y`` of shape (length, ydim); optional keys
+    ``x`` (length, xdim, ydim) and ``mu`` (length, zdim) are honored
+    (mirroring ``preprocess.initialize``'s respect for user-supplied fields,
+    preprocess.py:40-44).
+    """
+    n = len(trials)
+    if n == 0:
+        raise ValueError("no trials given")
+    lengths = np.array([np.asarray(t["y"]).shape[0] for t in trials], np.int32)
+    ydim = np.asarray(trials[0]["y"]).shape[1]
+    tmax = int(lengths.max())
+    tmax = -(-tmax // pad_multiple) * pad_multiple
+
+    y = np.zeros((n, tmax, ydim), dtype)
+    x = np.zeros((n, tmax, xdim, ydim), dtype)
+    mask = np.zeros((n, tmax), dtype)
+    mu = np.zeros((n, tmax, zdim), dtype)
+    for i, t in enumerate(trials):
+        L = lengths[i]
+        y[i, :L] = np.asarray(t["y"], dtype)
+        if "x" in t and t["x"] is not None:
+            xi = np.asarray(t["x"], dtype)
+            if xi.ndim == 2:  # (length, xdim) -> broadcast over channels
+                xi = np.repeat(xi[:, :, None], ydim, axis=2)
+            x[i, :L] = xi
+        else:
+            x[i, :L, 0, :] = 1.0  # constant regressor (preprocess.py:44)
+        if "mu" in t and t["mu"] is not None:
+            mu[i, :L] = np.asarray(t["mu"], dtype)
+        mask[i, :L] = 1.0
+
+    zeros = np.zeros((n, tmax, zdim), dtype)
+    return TrialSet(
+        y=jnp.asarray(y),
+        x=jnp.asarray(x),
+        mask=jnp.asarray(mask),
+        mu=jnp.asarray(mu),
+        w=jnp.asarray(zeros),
+        v=jnp.asarray(zeros),
+        dmu=jnp.asarray(zeros),
+        trial_idx=jnp.arange(n, dtype=jnp.int32),
+        start=jnp.zeros(n, jnp.int32),
+        lengths=jnp.asarray(lengths),
+    )
+
+
+def cut_trials(data: TrialSet, window: Optional[int], seed: int = 0) -> TrialSet:
+    """Cut trials into window-sized segments with randomized overlap.
+
+    Mirrors ``vlgp/util.py:457-499``: each trial of valid length L yields
+    ceil(L / window) segments; when L is not a multiple of the window the
+    deficit is distributed as random overlaps via a multinomial draw over
+    the segment boundaries.  Trials shorter than the window yield one
+    zero-padded, masked segment (the reference would produce a negative
+    slice there — a behavior edge we fix).
+
+    Deterministic given ``seed`` (the reference uses global NumPy state,
+    util.py:488-492).
+    """
+    if not window:
+        return data
+    rng = np.random.default_rng(seed)
+    lengths = np.asarray(data.lengths)
+    n = data.ntrial
+
+    idxs: List[int] = []
+    starts: List[int] = []
+    for i in range(n):
+        L = int(lengths[i])
+        nseg = max(1, -(-L // window))
+        overlap = nseg * window - L
+        start = np.cumsum(np.full(nseg, window, np.int64)) - window
+        if nseg > 1 and overlap > 0:
+            offset = np.cumsum(
+                np.append([0], rng.multinomial(overlap, np.ones(nseg - 1) / (nseg - 1)))
+            )
+            start = start - offset
+        start = np.maximum(start, 0)
+        idxs.extend([i] * nseg)
+        starts.extend(start.tolist())
+
+    idxs_a = np.asarray(idxs, np.int32)
+    starts_a = np.asarray(starts, np.int32)
+
+    def gather(arr):
+        arr = np.asarray(arr)
+        out = np.zeros((len(idxs_a), window) + arr.shape[2:], arr.dtype)
+        tmax = arr.shape[1]
+        for k, (i, s) in enumerate(zip(idxs_a, starts_a)):
+            stop = min(s + window, tmax)
+            out[k, : stop - s] = arr[i, s:stop]
+        return jnp.asarray(out)
+
+    seg_lengths = np.minimum(lengths[idxs_a] - starts_a, window).astype(np.int32)
+    return TrialSet(
+        y=gather(data.y),
+        x=gather(data.x),
+        mask=gather(data.mask),
+        mu=gather(data.mu),
+        w=gather(data.w),
+        v=gather(data.v),
+        dmu=gather(data.dmu),
+        trial_idx=jnp.asarray(idxs_a),
+        start=jnp.asarray(starts_a),
+        lengths=jnp.asarray(seg_lengths),
+    )
+
+
+def scatter_segments(full: TrialSet, segments: TrialSet) -> TrialSet:
+    """Write segment posteriors back into the full-length trials.
+
+    The reference gets this implicitly through NumPy view aliasing (segment
+    slices share memory with the parent trial, util.py:494-498); here the
+    copy is explicit, last-write-wins on overlapping bins.
+    """
+    mu = np.asarray(full.mu).copy()
+    w = np.asarray(full.w).copy()
+    v = np.asarray(full.v).copy()
+    seg_mu = np.asarray(segments.mu)
+    seg_w = np.asarray(segments.w)
+    seg_v = np.asarray(segments.v)
+    window = segments.nbin
+    tmax = full.nbin
+    for k in range(segments.ntrial):
+        i = int(segments.trial_idx[k])
+        s = int(segments.start[k])
+        stop = min(s + window, tmax)
+        mu[i, s:stop] = seg_mu[k, : stop - s]
+        w[i, s:stop] = seg_w[k, : stop - s]
+        v[i, s:stop] = seg_v[k, : stop - s]
+    return full.replace(mu=jnp.asarray(mu), w=jnp.asarray(w), v=jnp.asarray(v))
+
+
+def unpack_trials(data: TrialSet, trials: Optional[Sequence[dict]] = None) -> List[dict]:
+    """Convert a :class:`TrialSet` back to reference-style trial dicts."""
+    out = []
+    lengths = np.asarray(data.lengths)
+    for i in range(data.ntrial):
+        L = int(lengths[i])
+        d = dict(trials[i]) if trials is not None else {}
+        d.update(
+            y=np.asarray(data.y[i, :L]),
+            x=np.asarray(data.x[i, :L]),
+            mu=np.asarray(data.mu[i, :L]),
+            w=np.asarray(data.w[i, :L]),
+            v=np.asarray(data.v[i, :L]),
+            dmu=np.asarray(data.dmu[i, :L]),
+        )
+        out.append(d)
+    return out

@@ -1,0 +1,173 @@
+"""VEM outer loop and fused EM step.
+
+Reference: ``vem`` (core.py:269-363) — per iteration:
+constrain_loading -> E-step -> constrain_latent -> M-step -> H-step,
+with per-phase wall-clock timers, a callback hook, and a relative-norm
+convergence test guarded by ``min_iter``.
+
+Two execution styles are provided:
+
+  * :func:`vem` — a host loop over separately-jitted phases, preserving the
+    reference's per-phase ``runtime`` telemetry and callback hook;
+  * :func:`make_em_step` — the whole EM iteration fused into one function
+    (for benchmarks, `lax`-style scanning, and the shard_map SPMD path).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config, Params
+from ..data import TrialSet
+from .gp import hstep, make_cholesky
+from .vlgp import (
+    Dist,
+    constrain_latent,
+    constrain_loading,
+    em_norms,
+    estep,
+    mstep,
+    update_v,
+    update_w,
+)
+
+__all__ = ["vem", "infer", "make_em_step"]
+
+
+def make_em_step(config: Config, dist: Dist = Dist()) -> Callable:
+    """Build a fused single-EM-iteration function.
+
+    (data, params, G) -> (data, params, G, norms) with ``norms`` holding the
+    squared norms for the convergence test (pre-step mu/a/b, post-step
+    dmu/da/db — matching core.py:300-305 and core.py:350-354).
+    """
+
+    def em_step(data: TrialSet, params: Params, G: jnp.ndarray):
+        pre = em_norms(data, params, dist)
+        data, params = constrain_loading(data, params, config, dist)
+        data = estep(data, params, G, config, dist=dist)
+        data, params = constrain_latent(data, params, config, dist)
+        params = mstep(data, params, config, dist=dist)
+        if config.Hstep:
+            params = hstep(data, params, config, dist)
+            G = make_cholesky(data.nbin, params)
+        post = em_norms(data, params, dist)
+        norms = dict(
+            mu=pre["mu"], a=pre["a"], b=pre["b"],
+            dmu=post["dmu"], da=post["da"], db=post["db"],
+        )
+        return data, params, G, norms
+
+    return em_step
+
+
+def _converged(norms, tol: float) -> bool:
+    """norm(d.) < tol * norm(.) for mu, a, b (squared-norm form,
+    core.py:354)."""
+    t2 = tol * tol
+    return bool(
+        (norms["dmu"] < t2 * norms["mu"])
+        & (norms["da"] < t2 * norms["a"])
+        & (norms["db"] < t2 * norms["b"])
+    )
+
+
+def vem(
+    data: TrialSet,
+    params: Params,
+    G: jnp.ndarray,
+    config: Config,
+    callbacks: Sequence[Callable] = (),
+    verbose: bool = False,
+) -> Tuple[TrialSet, Params, jnp.ndarray, dict]:
+    """Variational EM loop with per-phase timing (core.py:269-363).
+
+    Returns (data, params, G, runtime).
+    """
+    T = data.nbin
+
+    @jax.jit
+    def phase_e(d, p, g):
+        n0 = em_norms(d, p)
+        d, p = constrain_loading(d, p, config)
+        d = estep(d, p, g, config)
+        return d, p, n0
+
+    @jax.jit
+    def phase_m(d, p):
+        d, p = constrain_latent(d, p, config)
+        p = mstep(d, p, config)
+        return d, p
+
+    @jax.jit
+    def phase_h(d, p, g):
+        if config.Hstep:
+            p = hstep(d, p, config)
+            g = make_cholesky(T, p)
+        return p, g
+
+    @jax.jit
+    def phase_norms(d, p):
+        return em_norms(d, p)
+
+    runtime = {"it": 0, "e_elapsed": [], "m_elapsed": [], "h_elapsed": [], "em_elapsed": []}
+
+    for it in range(config.max_iter):
+        runtime["it"] += 1
+        tic_em = time.perf_counter()
+
+        tic = time.perf_counter()
+        data, params, pre = phase_e(data, params, G)
+        jax.block_until_ready(data.mu)
+        runtime["e_elapsed"].append(time.perf_counter() - tic)
+
+        tic = time.perf_counter()
+        data, params = phase_m(data, params)
+        jax.block_until_ready(params.a)
+        runtime["m_elapsed"].append(time.perf_counter() - tic)
+
+        tic = time.perf_counter()
+        params, G = phase_h(data, params, G)
+        jax.block_until_ready(params.omega)
+        runtime["h_elapsed"].append(time.perf_counter() - tic)
+
+        runtime["em_elapsed"].append(time.perf_counter() - tic_em)
+
+        if verbose:
+            print(
+                f"Iteration {runtime['it']:4d}, "
+                f"E-step {runtime['e_elapsed'][-1]:.2f}s, "
+                f"M-step {runtime['m_elapsed'][-1]:.2f}s"
+            )
+
+        for cb in callbacks:
+            try:
+                cb(data, params, config)
+            except RuntimeError:  # reference swallows these (core.py:341-345)
+                pass
+
+        post = phase_norms(data, params)
+        norms = {
+            "mu": float(pre["mu"]), "a": float(pre["a"]), "b": float(pre["b"]),
+            "dmu": float(post["dmu"]), "da": float(post["da"]), "db": float(post["db"]),
+        }
+        if _converged(norms, config.tol) and it + 1 >= config.min_iter:
+            break
+
+    return data, params, G, runtime
+
+
+def infer(
+    data: TrialSet,
+    params: Params,
+    G: jnp.ndarray,
+    config: Config,
+    dist: Dist = Dist(),
+) -> TrialSet:
+    """Inference-only pass: E-step run for ``max_iter`` sweeps
+    (core.py:260-266, which temporarily rebinds Eniter)."""
+    fn = jax.jit(lambda d, p, g: estep(d, p, g, config, niter=config.max_iter, dist=dist))
+    return fn(data, params, G)

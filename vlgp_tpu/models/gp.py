@@ -1,0 +1,193 @@
+"""GP prior layer: kernels, prior factors, ELBO, hyperparameter step.
+
+Reference: ``vlgp/gp.py``.  The reference optimizes the per-latent GP
+hyperparameters with scipy L-BFGS-B in log space, with hand-derived kernel
+gradients (gp.py:12-62), a bounds box, a gradient mask [0, 1, 0] that makes
+omega the only effectively-learned parameter (gp.py:84-92), and rejection of
+at-bound updates.  Here the same ELBO objective (built from dense per-segment
+posterior covariances, gp.py:126-147) is evaluated in batched jnp and
+optimized by a fixed-trip-count golden-section search on log(omega) per
+latent — branchless, jittable, vmapped over latents, and exactly as bounded
+as the reference box.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import Config, Params
+from ..data import TrialSet
+from ..ops.ichol import ichol_gauss_batch
+from .vlgp import Dist, _psum
+
+__all__ = [
+    "sekernel",
+    "se_kernel_grid",
+    "make_cholesky",
+    "gp_elbo",
+    "hstep",
+    "posterior_cov",
+]
+
+
+def sekernel(x, var, scale, jitter: float = 1e-6):
+    """Dense SE covariance, GPFA parameterization (gp.py:165-171).
+
+    K[i,j] = var * exp(-0.5 * ((x_i - x_j)/scale)^2) + jitter * I
+    """
+    x = jnp.asarray(x, jnp.result_type(x, jnp.float32)) / scale
+    dsq = (x[:, None] - x[None, :]) ** 2
+    return var * jnp.exp(-0.5 * dsq) + jitter * jnp.eye(x.shape[0], dtype=dsq.dtype)
+
+
+def se_kernel_grid(T: int, omega, sigmasq=1.0, gp_noise=1e-4, dt: float = 1.0,
+                   dtype=jnp.float32):
+    """SE kernel on a regular grid, vLGP parameterization (gp.py:46-62).
+
+    K = sigmasq * exp(-omega * D^2) + gp_noise * I
+    """
+    t = jnp.arange(T, dtype=dtype) * dt
+    dsq = (t[:, None] - t[None, :]) ** 2
+    return sigmasq * jnp.exp(-omega * dsq) + gp_noise * jnp.eye(T, dtype=dtype)
+
+
+def make_cholesky(T: int, params: Params) -> jnp.ndarray:
+    """Low-rank prior factors for all latents: (zdim, T, rank).
+
+    K_l ~= (sigma_l G_l)(sigma_l G_l)'.  Replaces the per-length factor
+    cache ``params['cholesky']`` (gp.py:150-162): stationarity on a regular
+    grid means a single padded-length factor serves every masked trial.
+    """
+    rank = min(params.rank, T)
+    G = ichol_gauss_batch(T, params.omega, rank, params.dt)
+    G = G * params.sigma[:, None, None]
+    if rank < params.rank:  # keep a static (zdim, T, params.rank) shape
+        pad = jnp.zeros(G.shape[:2] + (params.rank - rank,), G.dtype)
+        G = jnp.concatenate([G, pad], axis=-1)
+    return G.astype(params.a.dtype)
+
+
+def _chol_inv(L):
+    """Inverse from a Cholesky factor (batched)."""
+    n = L.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+    inv_l = lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    return jnp.einsum("...ki,...kj->...ij", inv_l, inv_l)
+
+
+def gp_elbo(log_omega, mu, w, T: int, sigmasq, gp_noise, dt, mask=None,
+            dist: Dist = Dist()):
+    """GP-prior ELBO for one latent dim at a candidate log(omega).
+
+    Reference objective (gp.py:100-123): the posterior covariance per
+    segment is rebuilt from the weights at the *candidate* kernel
+    (gp.py:126-147), then the ELBO is
+
+        sum_i -1/2 mu_i' K^-1 mu_i - 1/2 tr(K^-1 S_i) - log|chol(K)|
+
+    with S_i = (K^-1 + diag(w_i))^-1  (gp.py:12-43).
+
+    mu, w: (S, T) segment stacks for this latent.
+    """
+    K = se_kernel_grid(T, jnp.exp(log_omega), sigmasq, gp_noise, dt, dtype=mu.dtype)
+    L = jnp.linalg.cholesky(K)
+    Kinv = _chol_inv(L)
+    logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    if mask is None:
+        mask = jnp.ones_like(w)
+    wmask = w * mask
+    # S_i = inv(Kinv + diag(w_i)) per segment, batched (gp.py:142-145)
+    P = Kinv[None] + wmask[:, :, None] * jnp.eye(T, dtype=mu.dtype)[None]
+    Ls = jnp.linalg.cholesky(P)
+    Sig = _chol_inv(Ls)
+
+    quad = jnp.einsum("st,tu,su->s", mu, Kinv, mu)
+    tr = jnp.einsum("tu,stu->s", Kinv, Sig)
+    nseg_term = mu.shape[0] if dist.data is None else None
+    ll_local = jnp.sum(-0.5 * quad - 0.5 * tr) - logdet * mu.shape[0]
+    return _psum(ll_local, dist.data)
+
+
+def _golden_min(f, lo, hi, iters: int):
+    """Fixed-iteration golden-section minimization on [lo, hi].
+
+    f must be vectorizable over its scalar argument's batch dims.
+    Returns the bracket midpoint after ``iters`` shrinks.
+    """
+    phi = 0.6180339887498949
+    c = hi - phi * (hi - lo)
+    d = lo + phi * (hi - lo)
+    fc = f(c)
+    fd = f(d)
+
+    def body(_, carry):
+        lo, hi, c, d, fc, fd = carry
+        left = fc < fd
+        lo_n = jnp.where(left, lo, c)
+        hi_n = jnp.where(left, d, hi)
+        c_n = jnp.where(left, hi_n - phi * (hi_n - lo_n), d)
+        d_n = jnp.where(left, c, lo_n + phi * (hi_n - lo_n))
+        x_new = jnp.where(left, c_n, d_n)
+        f_new = f(x_new)
+        fc_n = jnp.where(left, f_new, fd)
+        fd_n = jnp.where(left, fc, f_new)
+        return lo_n, hi_n, c_n, d_n, fc_n, fd_n
+
+    lo, hi, c, d, fc, fd = lax.fori_loop(0, iters, body, (lo, hi, c, d, fc, fd))
+    return 0.5 * (lo + hi)
+
+
+def hstep(
+    data: TrialSet, params: Params, config: Config, dist: Dist = Dist()
+) -> Params:
+    """Hyperparameter step: per-latent bounded search on log(omega).
+
+    Reference: gp.optimize (gp.py:65-97) — L-BFGS-B over log-space
+    (sigma^2, omega, gp_noise) with gradient mask [0,1,0], so only omega
+    moves; updates that land at the omega bounds are rejected
+    (gp.py:91-92).  Replicated here as a golden-section search per latent
+    with the same at-bound rejection.
+    """
+    if not config.Hstep:
+        return params
+
+    T = data.nbin
+    lo = jnp.log(jnp.asarray(config.omega_bound[0], data.mu.dtype))
+    hi = jnp.log(jnp.asarray(config.omega_bound[1], data.mu.dtype))
+
+    def per_latent(mu_l, w_l, sigma_l):
+        def obj(log_omega):
+            return -gp_elbo(
+                log_omega, mu_l, w_l, T, sigma_l**2, params.gp_noise,
+                params.dt, data.mask, dist,
+            )
+        return _golden_min(obj, lo, hi, config.hyper_iters)
+
+    mu_t = jnp.moveaxis(data.mu, -1, 0)  # (Z, S, T)
+    w_t = jnp.moveaxis(data.w, -1, 0)
+    log_omega = jax.vmap(per_latent)(mu_t, w_t, params.sigma)
+
+    # reject updates that sit at the search bounds (gp.py:91-92)
+    span = hi - lo
+    at_bound = (jnp.abs(log_omega - lo) < 1e-3 * span) | (
+        jnp.abs(log_omega - hi) < 1e-3 * span
+    )
+    omega = jnp.where(at_bound, params.omega, jnp.exp(log_omega))
+    return params.replace(omega=omega.astype(params.omega.dtype))
+
+
+def posterior_cov(w_l, G_l, reg: float = 0.0):
+    """Dense posterior covariance for one latent of one trial.
+
+    (K^-1 + diag(w))^-1 computed by Woodbury from the low-rank factor
+    (util.py:541-547): S = K - K W (I + K W)^-1 K with K = G G' (+ reg I).
+    """
+    T = G_l.shape[0]
+    K = G_l @ G_l.T + reg * jnp.eye(T, dtype=G_l.dtype)
+    KW = K * w_l[None, :]
+    S = K - KW @ jnp.linalg.solve(jnp.eye(T, dtype=K.dtype) + KW, K)
+    return S

@@ -1,0 +1,371 @@
+"""vLGP inference engine: batched variational EM, TPU-first.
+
+Reference: ``vlgp/core.py``.  The reference runs Python triple loops —
+trials (core.py:123-126) x latent dims (core.py:76) x Newton iterations
+(core.py:68) for the E-step and neurons (core.py:179) for the M-step.  All
+of those loops are *independent given the sufficient statistics* (the inner
+latent loop reads only the residual computed before the sweep, so it is a
+Jacobi update despite its in-place appearance), which makes the whole EM
+iteration one batched XLA computation here:
+
+  * E-step: einsum-batched low-rank Woodbury updates over
+    (segments x latents), ``lax.fori_loop`` over the Eniter Newton sweeps;
+  * M-step: per-neuron Newton reduced to masked sufficient-statistic
+    einsums (the cross-trial concatenation at core.py:166-171 becomes a
+    masked sum, and under SPMD a ``psum``);
+  * numerical fallbacks (try/except around solves, core.py:88-94) are
+    unnecessary: the Woodbury system ``I + G'WG`` has eigenvalues >= 1 and
+    the Newton systems carry explicit jitter.
+
+Every public function takes an optional :class:`Dist` naming the mesh axes;
+with the default (no axes) the same code runs single-device.  Axis
+semantics: ``data`` shards segments/trials, ``model`` shards channels.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import Config, Params
+from ..data import TrialSet
+from ..ops.math import trunc_exp
+
+__all__ = [
+    "Dist",
+    "estep",
+    "mstep",
+    "update_w",
+    "update_v",
+    "constrain_loading",
+    "constrain_latent",
+    "em_norms",
+]
+
+
+class Dist(NamedTuple):
+    """Mesh axis names (None = not sharded on that axis)."""
+
+    data: Optional[str] = None
+    model: Optional[str] = None
+
+
+def _psum(x, axis: Optional[str]):
+    return x if axis is None else lax.psum(x, axis)
+
+
+def _xb(x, b):
+    """Regressor contribution: einsum('ijk,jk->ik') batched (core.py:66)."""
+    return jnp.einsum("stxy,xy->sty", x, b)
+
+
+def _rates(eta, v, a):
+    """Posterior mean of the Poisson rate exp(eta + 0.5 * Var[eta])
+    (core.py:70: lognormal mean with truncated exponent)."""
+    return trunc_exp(eta + 0.5 * jnp.einsum("stz,zy->sty", v, a * a))
+
+
+def _weights(U, a, dist: Dist):
+    """w = U @ (a.T)^2 (core.py:104): per-latent likelihood precision."""
+    return _psum(jnp.einsum("sty,zy->stz", U, a * a), dist.model)
+
+
+def _residual(y, eta, r, params: Params):
+    """GLM working residual (core.py:82-83)."""
+    return jnp.where(params.poisson, y - r, (y - eta) / params.noise)
+
+
+def _woodbury_delta(G, s, mu, wm, eps):
+    """Natural-gradient E-step update via the low-rank Woodbury identity.
+
+    Implements core.py:85-97 for all (segment, latent) pairs at once:
+      u      = G G' s - mu
+      M      = (I + G'WG)^{-1} (WG)'u
+      delta  = u - G (WG)'u + G (G'WG) M
+
+    G: (Z, T, R) prior factors; s: (S, T, Z) residual projections;
+    mu, wm: (S, T, Z).  Returns (delta, GtWG) with GtWG: (S, Z, R, R).
+    """
+    R = G.shape[-1]
+    Gts = jnp.einsum("ztr,stz->szr", G, s)
+    u = jnp.einsum("ztr,szr->stz", G, Gts) - mu
+    GtWG = jnp.einsum("ztr,stz,ztq->szrq", G, wm, G)
+    wGu = jnp.einsum("ztr,stz,stz->szr", G, wm, u)
+    Ir = jnp.eye(R, dtype=G.dtype)
+    # I + G'WG is SPD with eigenvalues >= 1: Cholesky always succeeds.
+    L = jnp.linalg.cholesky(Ir + GtWG + eps * Ir)
+    M = lax.linalg.triangular_solve(
+        L,
+        lax.linalg.triangular_solve(L, wGu[..., None], left_side=True, lower=True),
+        left_side=True,
+        lower=True,
+        transpose_a=True,
+    )[..., 0]
+    delta = (
+        u
+        - jnp.einsum("ztr,szr->stz", G, wGu)
+        + jnp.einsum("ztr,szrq,szq->stz", G, GtWG, M)
+    )
+    return delta, GtWG
+
+
+def _marginal_variance(G, wm, eps):
+    """VB marginal posterior variance (core.py:105-114, 445-471).
+
+    v_l = rowsum(G * (G - G A + G A M)) with A = G'WG, M = (I+A)^{-1} A,
+    i.e. v = diag(GG' - GG' W (I + GG'W)^{-1} GG') via Woodbury.
+    """
+    R = G.shape[-1]
+    Ir = jnp.eye(R, dtype=G.dtype)
+    GtWG = jnp.einsum("ztr,stz,ztq->szrq", G, wm, G)
+    L = jnp.linalg.cholesky(Ir + GtWG + eps * Ir)
+    M = lax.linalg.triangular_solve(
+        L,
+        lax.linalg.triangular_solve(L, GtWG, left_side=True, lower=True),
+        left_side=True,
+        lower=True,
+        transpose_a=True,
+    )
+    inner = Ir - GtWG + GtWG @ M
+    return jnp.einsum("ztr,szrq,ztq->stz", G, inner, G)
+
+
+def estep(
+    data: TrialSet, params: Params, G: jnp.ndarray, config: Config,
+    niter: Optional[int] = None, dist: Dist = Dist()
+) -> TrialSet:
+    """E-step: Eniter Newton sweeps over all segments and latents.
+
+    Reference: ``infer_single_trial`` (core.py:22-126).  The per-latent
+    coordinate loop is batched (the reference's sweep reads only the
+    pre-sweep residual, so batching is exact, not an approximation).
+    """
+    niter = config.Eniter if niter is None else niter
+    if niter < 1:
+        return data
+
+    y, x, mask = data.y, data.x, data.mask
+    maskz = mask[..., None]
+    xb = _xb(x, params.b)
+    a = params.a
+    eps = config.eps
+    vb = config.method == "VB"
+
+    def sweep(_, carry):
+        mu, w, v, dmu = carry
+        eta = jnp.einsum("stz,zy->sty", mu, a) + xb
+        r = _rates(eta, v, a)
+        residual = _residual(y, eta, r, params) * mask[..., None]
+        s = _psum(jnp.einsum("sty,zy->stz", residual, a), dist.model)
+        wm = w * maskz
+        delta, _ = _woodbury_delta(G, s, mu, wm, eps)
+        delta = jnp.clip(delta, -config.dmu_bound, config.dmu_bound) * maskz
+        mu = mu + delta
+        dmu = delta
+        # refresh weights under the updated posterior (core.py:100-104)
+        eta = jnp.einsum("stz,zy->sty", mu, a) + xb
+        r = _rates(eta, v, a)
+        U = jnp.where(params.poisson, r, 1.0 / params.noise)
+        w = _weights(U, a, dist) * maskz
+        if vb:
+            v = _marginal_variance(G, w * maskz, eps) * maskz
+        return mu, w, v, dmu
+
+    mu, w, v, dmu = lax.fori_loop(
+        0, niter, sweep, (data.mu, data.w, data.v, data.dmu)
+    )
+    return data.replace(mu=mu, w=w, v=v, dmu=dmu)
+
+
+def update_w(data: TrialSet, params: Params, config: Config, dist: Dist = Dist()) -> TrialSet:
+    """Recompute likelihood precision weights (core.py:419-442)."""
+    eta = jnp.einsum("stz,zy->sty", data.mu, params.a) + _xb(data.x, params.b)
+    r = _rates(eta, data.v, params.a)
+    U = jnp.where(params.poisson, r, 1.0 / params.noise)
+    w = _weights(U, params.a, dist) * data.mask[..., None]
+    return data.replace(w=w)
+
+
+def update_v(data: TrialSet, params: Params, G, config: Config, dist: Dist = Dist()) -> TrialSet:
+    """Recompute VB marginal posterior variance (core.py:445-471)."""
+    if config.method != "VB":
+        return data
+    maskz = data.mask[..., None]
+    v = _marginal_variance(G, data.w * maskz, config.eps) * maskz
+    return data.replace(v=v)
+
+
+def _masked_var(resid, mask, dist: Dist):
+    """Per-channel variance of masked residuals (M-step noise MLE,
+    core.py:177)."""
+    m = mask[..., None]
+    n = _psum(jnp.sum(mask), dist.data)
+    s1 = _psum(jnp.sum(resid * m, axis=(0, 1)), dist.data)
+    s2 = _psum(jnp.sum(resid * resid * m, axis=(0, 1)), dist.data)
+    mean = s1 / n
+    return s2 / n - mean * mean
+
+
+def mstep(
+    data: TrialSet, params: Params, config: Config,
+    niter: Optional[int] = None, dist: Dist = Dist()
+) -> Params:
+    """M-step: Newton for Poisson channels, closed form for Gaussian.
+
+    Reference: core.py:129-249.  The per-neuron loop becomes batched
+    sufficient-statistic einsums; cross-trial sums become masked reductions
+    (and psum over the data axis under SPMD).  All channels get both the
+    Poisson and Gaussian updates computed; a per-channel select applies the
+    right one, keeping the computation branchless.
+    """
+    niter = config.Mniter if niter is None else niter
+    if niter < 1:
+        return params
+
+    y, x, mask = data.y, data.x, data.mask
+    mu, v = data.mu, data.v
+    m = mask[..., None]
+    mum = mu * m
+    vm = v * m
+    eps = config.eps
+    zdim = params.zdim
+    xdim = params.xdim
+    Iz = jnp.eye(zdim, dtype=y.dtype)
+    Ix = jnp.eye(xdim, dtype=y.dtype)
+    pois = params.poisson
+
+    # data-independent Gaussian normal equations (core.py:224-226)
+    Mg = _psum(jnp.einsum("stz,stk->zk", mum, mu), dist.data)
+    Mg = Mg + jnp.diag(_psum(jnp.sum(vm, axis=(0, 1)), dist.data))
+    xtx = _psum(jnp.einsum("stxn,stqn->nxq", x * m[..., None], x), dist.data)
+
+    def iteration(_, carry):
+        a, b, noise, da, db = carry
+        eta = jnp.einsum("stz,zy->sty", mu, a) + _xb(x, b)
+        r = _rates(eta, v, a)
+        noise = _masked_var(y - eta, mask, dist)
+        rm = r * m
+        ym = y * m
+
+        # ---- Poisson loading update (core.py:182-200) ----
+        C1 = _psum(jnp.einsum("stz,sty->zy", mum, y - r), dist.data)
+        C2 = _psum(jnp.einsum("stz,sty->zy", vm, r), dist.data)
+        grad_a = C1 - a * C2  # (z, y)
+        # Hessian of -loglik w.r.t. a[:, n], built from shared stats:
+        # (mu + v a_n)' diag(r_n) (mu + v a_n) + diag(r_n' v)
+        E1 = _psum(jnp.einsum("sty,stz,stk->yzk", rm, mu, mu), dist.data)
+        E2 = _psum(jnp.einsum("sty,stz,stk->yzk", rm, v, mu), dist.data)
+        E3 = _psum(jnp.einsum("sty,stz,stk->yzk", rm, v, v), dist.data)
+        an = a.T  # (y, z)
+        nhess = (
+            E1
+            + an[:, :, None] * E2
+            + an[:, None, :] * jnp.swapaxes(E2, 1, 2)
+            + an[:, :, None] * an[:, None, :] * E3
+            + C2.T[:, :, None] * Iz
+        )
+        delta_a = jnp.linalg.solve(nhess + eps * Iz, grad_a.T[..., None])[..., 0]
+        delta_a = jnp.clip(delta_a.T, -config.da_bound, config.da_bound)  # (z, y)
+
+        # ---- Poisson regression update (core.py:205-218) ----
+        grad_b = _psum(jnp.einsum("stxy,sty->xy", x, (ym - rm)), dist.data)
+        nhess_b = _psum(jnp.einsum("stxy,sty,stqy->yxq", x, rm, x), dist.data)
+        delta_b = jnp.linalg.solve(nhess_b + eps * Ix, grad_b.T[..., None])[..., 0]
+        delta_b = jnp.clip(delta_b.T, -config.db_bound, config.db_bound)  # (x, y)
+
+        a_pois = a + delta_a
+        b_pois = b + delta_b
+
+        # ---- Gaussian closed form (core.py:221-235) ----
+        rhs_a = _psum(
+            jnp.einsum("stz,sty->zy", mum, y - _xb(x, b)), dist.data
+        )
+        a_gauss = jnp.linalg.solve(Mg, rhs_a)
+        resid = ym - jnp.einsum("stz,zy->sty", mum, a_gauss)
+        rhs_b = _psum(jnp.einsum("stxy,sty->yx", x, resid), dist.data)
+        b_gauss = jnp.linalg.solve(xtx + eps * Ix, rhs_b[..., None])[..., 0].T
+        # zero the history-filter rows, keep the bias (core.py:235)
+        b_gauss = b_gauss * (jnp.arange(xdim) == 0)[:, None].astype(b.dtype)
+
+        a_new = jnp.where(pois, a_pois, a_gauss)
+        b_new = jnp.where(pois, b_pois, b_gauss)
+        da = jnp.where(pois, delta_a, a_new - a)
+        db = jnp.where(pois, delta_b, b_new - b)
+        return a_new, b_new, noise, da, db
+
+    a, b, noise, da, db = lax.fori_loop(
+        0, niter, iteration, (params.a, params.b, params.noise, params.da, params.db)
+    )
+    return params.replace(a=a, b=b, noise=noise, da=da, db=db)
+
+
+def constrain_loading(
+    data: TrialSet, params: Params, config: Config, dist: Dist = Dist()
+) -> Tuple[TrialSet, Params]:
+    """Normalize the loading, compensating the latents (core.py:392-416)."""
+    c = config.constrain_loading
+    if not c or c == "none":
+        return data, params
+    a = params.a
+    if c == "svd":
+        if dist.model is not None:
+            raise NotImplementedError("svd loading constraint under model sharding")
+        u, s, vh = jnp.linalg.svd(a, full_matrices=False)
+        us = a @ vh.T
+        mu = jnp.einsum("stz,zk->stk", data.mu, us)
+        return data.replace(mu=mu), params.replace(a=vh)
+    if c == "fro":
+        ssq = _psum(jnp.sum(a * a), dist.model)
+        s = jnp.sqrt(ssq) + config.eps
+        return data.replace(mu=data.mu * s), params.replace(a=a / s)
+    # row-wise vector norm with ord=c (core.py:413)
+    ord_ = float(c) if not isinstance(c, (int, float)) else c
+    if ord_ == 2:
+        s = jnp.sqrt(_psum(jnp.sum(a * a, axis=1), dist.model)) + config.eps
+    elif ord_ == 1:
+        s = _psum(jnp.sum(jnp.abs(a), axis=1), dist.model) + config.eps
+    else:
+        raise ValueError(f"unsupported loading constraint {c!r}")
+    return data.replace(mu=data.mu * s[None, None, :]), params.replace(
+        a=a / s[:, None]
+    )
+
+
+def constrain_latent(
+    data: TrialSet, params: Params, config: Config, dist: Dist = Dist()
+) -> Tuple[TrialSet, Params]:
+    """Center/scale the posterior mean, compensating (b, a)
+    (core.py:366-389).  Off by default, as in the reference."""
+    c = config.constrain_latent
+    if not c or c == "none":
+        return data, params
+    m = data.mask[..., None]
+    n = _psum(jnp.sum(data.mask), dist.data)
+    mean = _psum(jnp.sum(data.mu * m, axis=(0, 1)), dist.data) / n
+    sqsum = _psum(jnp.sum((data.mu - mean) ** 2 * m, axis=(0, 1)), dist.data)
+    std = jnp.sqrt(sqsum / n)
+    mu, a, b = data.mu, params.a, params.b
+    if c in ("location", "both"):
+        mu = (mu - mean) * m
+        b = b.at[0, :].add(mean @ a)
+    if c in ("scale", "both"):
+        mu = mu / std
+        a = a * std[:, None]
+    return data.replace(mu=mu), params.replace(a=a, b=b)
+
+
+def em_norms(data: TrialSet, params: Params, dist: Dist = Dist()):
+    """Squared norms used by the convergence test (core.py:300-305, 350-359)."""
+    m = data.mask[..., None]
+    sq = lambda t: jnp.sum(t * t)
+    out = dict(
+        mu=_psum(sq(data.mu * m), dist.data),
+        dmu=_psum(sq(data.dmu * m), dist.data),
+        a=_psum(sq(params.a), dist.model),
+        da=_psum(sq(params.da), dist.model),
+        b=_psum(sq(params.b), dist.model),
+        db=_psum(sq(params.db), dist.model),
+    )
+    return out

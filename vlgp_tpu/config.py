@@ -46,8 +46,11 @@ class Config:
     omega_bound: Tuple[float, float] = (5e-4, 5e-2)
     # trial segmentation window (util.py:457-499)
     window: int = 50
-    # H-step optimizer: fixed-iteration golden section on log-omega
+    # H-step optimizer: fixed-iteration golden section on log-omega,
+    # iterated as a short fixed point (posterior cov rebuilt at the running
+    # omega between searches)
     hyper_iters: int = 24
+    hyper_fixed_point_iters: int = 3
     # checkpointing
     saving_interval: float = 1800.0
     path: Optional[str] = None

@@ -78,36 +78,47 @@ def _chol_inv(L):
     return jnp.einsum("...ki,...kj->...ij", inv_l, inv_l)
 
 
-def gp_elbo(log_omega, mu, w, T: int, sigmasq, gp_noise, dt, mask=None,
-            dist: Dist = Dist()):
-    """GP-prior ELBO for one latent dim at a candidate log(omega).
+def posterior_cov_stack(w, T: int, omega, sigmasq, gp_noise, dt, mask=None):
+    """Per-segment dense posterior covariances at the current kernel.
 
-    Reference objective (gp.py:100-123): the posterior covariance per
-    segment is rebuilt from the weights at the *candidate* kernel
-    (gp.py:126-147), then the ELBO is
+    S_i = (K^-1 + diag(w_i))^-1, batched over segments
+    (``construct_posterior_cov``, gp.py:126-147).  w: (S, T) -> (S, T, T).
+    """
+    K = se_kernel_grid(T, omega, sigmasq, gp_noise, dt, dtype=w.dtype)
+    Kinv = _chol_inv(jnp.linalg.cholesky(K))
+    if mask is not None:
+        w = w * mask
+    P = Kinv[None] + w[:, :, None] * jnp.eye(T, dtype=w.dtype)[None]
+    return _chol_inv(jnp.linalg.cholesky(P))
+
+
+def gp_elbo(log_omega, mu, Sig, T: int, sigmasq, gp_noise, dt,
+            dist: Dist = Dist()):
+    """GP-prior ELBO for one latent at a candidate log(omega), with the
+    variational posterior held fixed (gp.py:12-43):
 
         sum_i -1/2 mu_i' K^-1 mu_i - 1/2 tr(K^-1 S_i) - log|chol(K)|
 
-    with S_i = (K^-1 + diag(w_i))^-1  (gp.py:12-43).
+    mu: (S, T) segment posterior means; Sig: (S, T, T) posterior
+    covariances.
 
-    mu, w: (S, T) segment stacks for this latent.
+    Deliberate deviation from the reference *optimizer* (not its math): the
+    reference objective wrapper rebuilds S_i at every candidate omega
+    (gp.py:109) while its analytic gradient treats S_i as constant
+    (gp.py:12-43 never differentiates through post_cov) — an inconsistency
+    that makes L-BFGS stall semi-randomly, and whose consistent-objective
+    limit is exactly this fixed-posterior form.  The rebuilt-S profile
+    objective is also degenerate: it rewards omega -> 0 once the posterior
+    mean is smooth, which over-smooths the latents.  Holding q fixed is
+    what the vLGP paper's coordinate-ascent H-step prescribes and keeps the
+    EM monotone.
     """
     K = se_kernel_grid(T, jnp.exp(log_omega), sigmasq, gp_noise, dt, dtype=mu.dtype)
     L = jnp.linalg.cholesky(K)
     Kinv = _chol_inv(L)
     logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
-
-    if mask is None:
-        mask = jnp.ones_like(w)
-    wmask = w * mask
-    # S_i = inv(Kinv + diag(w_i)) per segment, batched (gp.py:142-145)
-    P = Kinv[None] + wmask[:, :, None] * jnp.eye(T, dtype=mu.dtype)[None]
-    Ls = jnp.linalg.cholesky(P)
-    Sig = _chol_inv(Ls)
-
     quad = jnp.einsum("st,tu,su->s", mu, Kinv, mu)
     tr = jnp.einsum("tu,stu->s", Kinv, Sig)
-    nseg_term = mu.shape[0] if dist.data is None else None
     ll_local = jnp.sum(-0.5 * quad - 0.5 * tr) - logdet * mu.shape[0]
     return _psum(ll_local, dist.data)
 
@@ -159,17 +170,29 @@ def hstep(
     lo = jnp.log(jnp.asarray(config.omega_bound[0], data.mu.dtype))
     hi = jnp.log(jnp.asarray(config.omega_bound[1], data.mu.dtype))
 
-    def per_latent(mu_l, w_l, sigma_l):
-        def obj(log_omega):
-            return -gp_elbo(
-                log_omega, mu_l, w_l, T, sigma_l**2, params.gp_noise,
-                params.dt, data.mask, dist,
+    def per_latent(mu_l, w_l, sigma_l, omega_l):
+        def refine(_, log_om):
+            # posterior covariance fixed at the running hyperparameters,
+            # then one bounded search over the candidate kernel
+            Sig = posterior_cov_stack(
+                w_l, T, jnp.exp(log_om), sigma_l**2, params.gp_noise,
+                params.dt, data.mask,
             )
-        return _golden_min(obj, lo, hi, config.hyper_iters)
+
+            def obj(log_omega):
+                return -gp_elbo(
+                    log_omega, mu_l, Sig, T, sigma_l**2, params.gp_noise,
+                    params.dt, dist,
+                )
+
+            return _golden_min(obj, lo, hi, config.hyper_iters)
+
+        return lax.fori_loop(0, config.hyper_fixed_point_iters, refine,
+                             jnp.log(omega_l))
 
     mu_t = jnp.moveaxis(data.mu, -1, 0)  # (Z, S, T)
     w_t = jnp.moveaxis(data.w, -1, 0)
-    log_omega = jax.vmap(per_latent)(mu_t, w_t, params.sigma)
+    log_omega = jax.vmap(per_latent)(mu_t, w_t, params.sigma, params.omega)
 
     # reject updates that sit at the search bounds (gp.py:91-92)
     span = hi - lo

@@ -1,0 +1,153 @@
+"""End-to-end API tests (model: reference tests/test_api.py, plus actual
+recovery assertions the reference lacks)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import vlgp_tpu
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    ydim, zdim, length, ntrial = 30, 2, 200, 5
+    a = rng.normal(size=(zdim, ydim)) * 0.8
+    trials, z_true = [], []
+    for i in range(ntrial):
+        z = np.column_stack(
+            (
+                np.sin(np.linspace(0, 8 * np.pi, length)),
+                np.cos(np.linspace(0, 8 * np.pi, length)),
+            )
+        )
+        y = rng.poisson(np.exp(z @ a - 2.0)).astype(float)
+        trials.append({"y": y, "id": i})
+        z_true.append(z)
+    return trials, np.concatenate(z_true)
+
+
+def _r2(mu, zt):
+    X = np.column_stack([mu, np.ones(len(mu))])
+    beta, *_ = np.linalg.lstsq(X, zt, rcond=None)
+    zhat = X @ beta
+    return 1 - np.sum((zhat - zt) ** 2) / np.sum((zt - zt.mean(0)) ** 2)
+
+
+@pytest.fixture(scope="module")
+def fitted(data):
+    trials, _ = data
+    return vlgp_tpu.fit(trials, n_factors=2, dtype="float64", max_iter=10)
+
+
+def test_fit_recovers_latents(data, fitted):
+    _, zt = data
+    mu = np.concatenate([t["mu"] for t in fitted.trials])
+    assert _r2(mu, zt) > 0.85
+
+
+def test_result_dict_access(fitted):
+    assert fitted["params"] is fitted.params
+    assert len(fitted["trials"]) == 5
+    with pytest.raises(KeyError):
+        fitted["nope"]
+
+
+def test_transform(data, fitted):
+    trials, zt = data
+    out = vlgp_tpu.transform([{"y": t["y"]} for t in trials], fitted)
+    mu = np.concatenate([t["mu"] for t in out])
+    assert _r2(mu, zt) > 0.8
+    assert out[0]["mu"].shape == (200, 2)
+
+
+def test_transform_new_length(fitted, data):
+    """New trials with lengths never seen in training must work — the
+    reference fails here (core.py:56-58 factor-cache TODO)."""
+    trials, _ = data
+    short = {"y": trials[0]["y"][:77]}
+    out = vlgp_tpu.transform([short], fitted)
+    assert out[0]["mu"].shape == (77, 2)
+    assert np.isfinite(out[0]["mu"]).all()
+
+
+def test_sample_posterior(fitted):
+    s = vlgp_tpu.sample_posterior(fitted, 0, 7, key=jax.random.PRNGKey(1))
+    assert s.shape == (7, 200, 2)
+    # samples scatter around the posterior mean
+    err = np.abs(np.asarray(s.mean(0)) - np.asarray(fitted.data.mu[0])).max()
+    spread = float(jnp.std(s))
+    assert np.isfinite(spread) and err < 5 * spread
+
+
+def test_resume(fitted):
+    out = vlgp_tpu.resume(fitted)
+    assert np.isfinite(np.asarray(out.params.a)).all()
+    assert np.isfinite(np.asarray(out.data.mu)).all()
+
+
+def test_unequal_lengths_and_mixed_likelihood():
+    rng = np.random.default_rng(1)
+    ydim, zdim = 12, 2
+    lik = ["poisson"] * 8 + ["gaussian"] * 4
+    a = rng.normal(size=(zdim, ydim)) * 0.5
+    trials = []
+    for L in (90, 120, 150):
+        z = np.column_stack(
+            (np.sin(np.linspace(0, 5, L)), np.cos(np.linspace(0, 5, L)))
+        )
+        eta = z @ a - 1.0
+        pois = np.array([l == "poisson" for l in lik])
+        y = np.where(pois, rng.poisson(np.exp(eta)), eta + rng.normal(size=(L, ydim)) * 0.3)
+        trials.append({"y": y.astype(float)})
+    res = vlgp_tpu.fit(trials, zdim, lik=lik, dtype="float64", max_iter=5, min_iter=1)
+    assert np.isfinite(np.asarray(res.params.a)).all()
+    out_trials = res.trials
+    assert [t["mu"].shape[0] for t in out_trials] == [90, 120, 150]
+    # gaussian noise learned positive
+    assert (np.asarray(res.params.noise)[8:] > 0).all()
+
+
+def test_fastfit(data):
+    trials, zt = data
+    res = vlgp_tpu.fastfit(trials, 2, dt=1.0, var=1.0, scale=20.0, max_iter=10,
+                           dtype="float64")
+    mu = np.concatenate([t["mu"] for t in res.trials])
+    assert _r2(mu, zt) > 0.5
+
+
+def test_loglik(fitted):
+    ll = vlgp_tpu.evaluation.loglik(fitted)
+    assert np.isfinite(ll)
+    # reference-style dict input path
+    ll2 = vlgp_tpu.evaluation.loglik(
+        {"trials": fitted.trials, "params": {"a": np.asarray(fitted.params.a),
+                                             "b": np.asarray(fitted.params.b)}}
+    )
+    assert np.isfinite(ll2)
+    assert abs(ll - ll2) / abs(ll) < 1e-6
+
+
+def test_save_load_roundtrip(tmp_path, fitted):
+    p = vlgp_tpu.save(fitted, tmp_path / "fit")
+    back = vlgp_tpu.load(p)
+    assert np.allclose(np.asarray(back.params.a), np.asarray(fitted.params.a))
+    assert np.allclose(np.asarray(back.data.mu), np.asarray(fitted.data.mu))
+    assert back.config == fitted.config
+    # loaded model still usable for transform
+    out = vlgp_tpu.transform([{"y": np.asarray(fitted.data.y[0])}], back)
+    assert np.isfinite(out[0]["mu"]).all()
+
+
+def test_unknown_config_rejected(data):
+    trials, _ = data
+    with pytest.raises(TypeError):
+        vlgp_tpu.fit(trials, 2, not_an_option=5)
+
+
+def test_callbacks_fire(data):
+    trials, _ = data
+    seen = []
+    vlgp_tpu.fit(trials, 2, max_iter=2, min_iter=1,
+                 callbacks=[lambda d, p, c: seen.append(1)])
+    assert len(seen) == 2

@@ -1,0 +1,83 @@
+"""L0 kernel tests against dense NumPy oracles (model: reference
+tests/test_math.py, plus property tests the reference lacks)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vlgp_tpu.ops.ichol import ichol, ichol_gauss, ichol_gauss_batch
+from vlgp_tpu.ops.math import orth, rectify, sqexpcov, subspace, trunc_exp
+
+
+def dense_se(n, omega, dt=1.0):
+    x = np.arange(n) * dt
+    return np.exp(-omega * (x[:, None] - x[None, :]) ** 2)
+
+
+def test_ichol_gauss_full_rank():
+    # mirrors reference tests/test_math.py:7-14
+    n, omega = 200, 1.0
+    K = dense_se(n, omega)
+    G = np.asarray(ichol_gauss(n, jnp.float64(omega), n))
+    assert np.allclose(K, G @ G.T)
+
+
+@pytest.mark.parametrize(
+    "n,omega,rank,tol",
+    [(500, 1e-2, 50, 2e-1), (1000, 5e-4, 50, 1e-3), (100, 5e-3, 30, 1e-6)],
+)
+def test_ichol_gauss_low_rank(n, omega, rank, tol):
+    K = dense_se(n, omega)
+    G = np.asarray(ichol_gauss(n, jnp.float64(omega), rank))
+    err = np.abs(K - G @ G.T).max()
+    assert err < tol, err
+
+
+def test_ichol_gauss_batch_shapes():
+    G = ichol_gauss_batch(80, jnp.array([1e-3, 1e-2, 5e-2]), 40)
+    assert G.shape == (3, 80, 40)
+    for l, om in enumerate([1e-3, 1e-2, 5e-2]):
+        K = dense_se(80, om)
+        assert np.abs(K - np.asarray(G[l] @ G[l].T)).max() < 1e-2
+
+
+def test_ichol_general():
+    A = dense_se(64, 0.01) + 1e-6 * np.eye(64)
+    G = np.asarray(ichol(jnp.asarray(A)))
+    assert np.allclose(A, G @ G.T)
+
+
+def test_orth_preserves_product():
+    # mirrors reference tests/test_math.py:17-24
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(100, 10))
+    a = rng.random((10, 40))
+    x_orth, a_orth = orth(jnp.asarray(x), jnp.asarray(a))
+    assert np.allclose(x @ a, np.asarray(x_orth @ a_orth))
+    # rows of a_orth are orthonormal
+    assert np.allclose(np.asarray(a_orth @ a_orth.T), np.eye(10), atol=1e-8)
+
+
+def test_rectify():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=1000)
+    assert np.array_equal(np.asarray(rectify(jnp.asarray(x))), np.maximum(0, x))
+
+
+def test_trunc_exp_bounded():
+    x = jnp.asarray([-5.0, 0.0, 9.0, 50.0])
+    out = np.asarray(trunc_exp(x))
+    assert np.allclose(out[:3], np.exp([-5.0, 0.0, 9.0]))
+    assert out[3] == np.exp(10.0)
+
+
+def test_sqexpcov_matches_oracle():
+    K = np.asarray(sqexpcov(30, 0.01, var=2.0))
+    assert np.allclose(K, 2.0 * dense_se(30, 0.01))
+
+
+def test_subspace_angles():
+    rng = np.random.default_rng(2)
+    q = np.linalg.qr(rng.normal(size=(50, 3)))[0]
+    assert float(subspace(jnp.asarray(q), jnp.asarray(q))) < 1e-4
+    q2 = np.linalg.qr(rng.normal(size=(50, 3)))[0]
+    assert float(subspace(jnp.asarray(q), jnp.asarray(q2))) > 10.0

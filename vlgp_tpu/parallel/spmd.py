@@ -1,0 +1,70 @@
+"""SPMD execution of the EM step over a ('data', 'model') mesh.
+
+Wraps the single-device EM phases (written against :class:`Dist` axis
+names) in ``shard_map``: segments are sharded over ``data``, observation
+channels over ``model``.  Cross-segment reductions (M-step sufficient
+statistics, H-step ELBO sums, convergence norms — the reference's
+concatenations at core.py:166-171 and stacks at gp.py:77-78) become
+``lax.psum('data')``; cross-channel contractions in the E-step
+(``residual @ a`` and the weight refresh, core.py:87/104) become
+``lax.psum('model')``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..config import Config, Params
+from ..data import TrialSet
+from ..models.driver import make_em_step
+from ..models.vlgp import Dist, estep
+from .mesh import data_specs, params_specs
+
+__all__ = ["sharded_em_step", "sharded_infer", "DIST"]
+
+DIST = Dist(data="data", model="model")
+
+
+def sharded_em_step(mesh: Mesh, config: Config, data: TrialSet, params: Params):
+    """Build a jitted, shard_mapped EM step bound to ``mesh``.
+
+    ``data``/``params`` are used only for their pytree structure (static
+    fields ride the treedef, so specs are built per-instance).
+    Returns a function (data, params, G) -> (data, params, G, norms).
+    """
+    em = make_em_step(config, DIST)
+    dspec = data_specs(data)
+    pspec = params_specs(params)
+    norm_spec = {k: P() for k in ("mu", "dmu", "a", "da", "b", "db")}
+    fn = shard_map(
+        em,
+        mesh=mesh,
+        in_specs=(dspec, pspec, P()),
+        out_specs=(dspec, pspec, P(), norm_spec),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_infer(mesh: Mesh, config: Config, data: TrialSet, params: Params,
+                  niter=None):
+    """Shard_mapped inference-only E-step (core.py:260-266 analog)."""
+    dspec = data_specs(data)
+    pspec = params_specs(params)
+    n = config.max_iter if niter is None else niter
+
+    def body(d, p, g):
+        return estep(d, p, g, config, niter=n, dist=DIST)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(dspec, pspec, P()),
+        out_specs=dspec,
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -109,7 +109,7 @@ def lorenz(n: int, dt: float = 0.01, s: float = 10.0, r: float = 28.0,
     """Euler-integrated Lorenz attractor trajectory (simulation.py:108-151)."""
     if x0 is None:
         x0 = (0.0, 1.0, 1.05)
-    x0 = jnp.asarray(x0, jnp.float32)
+    x0 = jnp.asarray(x0, jnp.result_type(1.0))  # float64 under jax_enable_x64
 
     def step(state, _):
         x, y, z = state

@@ -161,14 +161,21 @@ def cut_trials(data: TrialSet, window: Optional[int], seed: int = 0) -> TrialSet
 
     idxs_a = np.asarray(idxs, np.int32)
     starts_a = np.asarray(starts, np.int32)
+    tmax = int(data.nbin)
+    # vectorized gather: segment k, offset j reads parent row idxs[k] at
+    # time starts[k] + j (clamped; clamped reads land on masked bins)
+    time_idx = np.minimum(
+        starts_a[:, None] + np.arange(window)[None, :], tmax - 1
+    )
+    in_range = (starts_a[:, None] + np.arange(window)[None, :]) < tmax
 
     def gather(arr):
         arr = np.asarray(arr)
-        out = np.zeros((len(idxs_a), window) + arr.shape[2:], arr.dtype)
-        tmax = arr.shape[1]
-        for k, (i, s) in enumerate(zip(idxs_a, starts_a)):
-            stop = min(s + window, tmax)
-            out[k, : stop - s] = arr[i, s:stop]
+        out = arr[idxs_a[:, None], time_idx]
+        if out.ndim > 2:
+            out = out * in_range.reshape(in_range.shape + (1,) * (out.ndim - 2))
+        else:
+            out = out * in_range
         return jnp.asarray(out)
 
     seg_lengths = np.minimum(lengths[idxs_a] - starts_a, window).astype(np.int32)

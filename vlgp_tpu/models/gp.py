@@ -152,6 +152,26 @@ def _golden_min(f, lo, hi, iters: int):
     return 0.5 * (lo + hi)
 
 
+def gp_elbo_stats(log_omega, C, nseg, T: int, sigmasq, gp_noise, dt):
+    """GP-prior ELBO from the (T, T) sufficient statistic
+    C = sum_i (mu_i mu_i' + S_i):
+
+        ll = -1/2 tr(K^-1 C) - nseg * log|chol(K)|
+
+    Exactly equal to :func:`gp_elbo` summed over segments (trace
+    linearity), but O(T^3) per candidate instead of O(nseg * T^3) — this is
+    what makes the golden-section H-step cheap on accelerators.
+    """
+    K = se_kernel_grid(T, jnp.exp(log_omega), sigmasq, gp_noise, dt, dtype=C.dtype)
+    L = jnp.linalg.cholesky(K)
+    half = lax.linalg.triangular_solve(L, C, left_side=True, lower=True)
+    KinvC = lax.linalg.triangular_solve(
+        L, half, left_side=True, lower=True, transpose_a=True
+    )
+    logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
+    return -0.5 * jnp.trace(KinvC) - nseg * logdet
+
+
 def hstep(
     data: TrialSet, params: Params, config: Config, dist: Dist = Dist()
 ) -> Params:
@@ -161,7 +181,8 @@ def hstep(
     (sigma^2, omega, gp_noise) with gradient mask [0,1,0], so only omega
     moves; updates that land at the omega bounds are rejected
     (gp.py:91-92).  Replicated here as a golden-section search per latent
-    with the same at-bound rejection.
+    with the same at-bound rejection, run on the pooled (T, T) second-moment
+    statistic so each candidate evaluation costs one T x T Cholesky.
     """
     if not config.Hstep:
         return params
@@ -169,8 +190,12 @@ def hstep(
     T = data.nbin
     lo = jnp.log(jnp.asarray(config.omega_bound[0], data.mu.dtype))
     hi = jnp.log(jnp.asarray(config.omega_bound[1], data.mu.dtype))
+    nseg_total = _psum(jnp.asarray(data.ntrial, data.mu.dtype), dist.data)
 
     def per_latent(mu_l, w_l, sigma_l, omega_l):
+        # second moment of the posterior mean: local then psummed
+        Mbar = _psum(jnp.einsum("st,su->tu", mu_l, mu_l), dist.data)
+
         def refine(_, log_om):
             # posterior covariance fixed at the running hyperparameters,
             # then one bounded search over the candidate kernel
@@ -178,11 +203,12 @@ def hstep(
                 w_l, T, jnp.exp(log_om), sigma_l**2, params.gp_noise,
                 params.dt, data.mask,
             )
+            C = Mbar + _psum(jnp.sum(Sig, axis=0), dist.data)
 
             def obj(log_omega):
-                return -gp_elbo(
-                    log_omega, mu_l, Sig, T, sigma_l**2, params.gp_noise,
-                    params.dt, dist,
+                return -gp_elbo_stats(
+                    log_omega, C, nseg_total, T, sigma_l**2, params.gp_noise,
+                    params.dt,
                 )
 
             return _golden_min(obj, lo, hi, config.hyper_iters)

@@ -1,0 +1,157 @@
+"""Benchmark: EM iterations/sec on the BASELINE.json flagship config.
+
+Workload (BASELINE.md "Large-scale"): 100 trials x 1000 bins x 100 Poisson
+neurons, 5 latents, default algorithmic budget (Eniter 25 / Mniter 25 /
+rank 50 / window 50) -> 2000 training segments of 50 bins.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "iter/s", "vs_baseline": N}
+
+vs_baseline is the speedup over the reference NumPy implementation's
+per-EM-iteration wall clock on this host's CPU (measured once and cached
+in BASELINE_MEASURED.json; the reference needs a scipy>=1.11 compat shim
+for its removed `sym_pos` kwarg).
+"""
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(ROOT))
+
+NTRIAL, LENGTH, YDIM, ZDIM = 100, 1000, 100, 5
+CACHE = ROOT / "BASELINE_MEASURED.json"
+
+
+def make_workload(dtype=np.float32):
+    rng = np.random.default_rng(0)
+    a = (rng.normal(size=(ZDIM, YDIM)) * 0.3).astype(dtype)
+    trials = []
+    for _ in range(NTRIAL):
+        z = np.stack(
+            [np.sin(np.linspace(0, 20 + 3 * i, LENGTH)) for i in range(ZDIM)], 1
+        )
+        y = rng.poisson(np.exp(z @ a - 2.0)).astype(dtype)
+        trials.append(
+            {"y": y, "mu": (rng.normal(size=(LENGTH, ZDIM)) * 0.1).astype(dtype)}
+        )
+    return trials, a
+
+
+def bench_ours(trials, a, iters=5):
+    import jax
+    import jax.numpy as jnp
+
+    from vlgp_tpu.config import default_config, make_params
+    from vlgp_tpu.data import cut_trials, pack_trials
+    from vlgp_tpu.models.driver import make_em_step
+    from vlgp_tpu.models.gp import make_cholesky
+    from vlgp_tpu.models.vlgp import update_w
+
+    config = default_config()
+    params = make_params(
+        YDIM, ZDIM, 1, "poisson", a=a,
+        b=np.full((1, YDIM), -2.0, np.float32), omega=np.full(ZDIM, 1e-2),
+    )
+    data = pack_trials(trials, ZDIM, 1)
+    seg = cut_trials(data, config.window, seed=0)
+    G = make_cholesky(seg.nbin, params)
+    seg = update_w(seg, params, config)
+    em = jax.jit(make_em_step(config))
+
+    # warmup/compile
+    d, p, g, _ = em(seg, params, G)
+    jax.block_until_ready(p.a)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        d, p, g, _ = em(d, p, g)
+    jax.block_until_ready(p.a)
+    per_iter = (time.perf_counter() - t0) / iters
+    return per_iter
+
+
+def bench_reference(trials):
+    """One reference EM iteration (estep+mstep+hstep on segments), CPU."""
+    sys.path.insert(0, str(ROOT / "tests"))
+    from refshim import load_reference
+
+    ref = load_reference()
+    if ref is None:
+        return None
+    from vlgp.core import constrain_loading, estep, mstep, update_v, update_w
+    from vlgp.gp import make_cholesky, optimize
+    from vlgp.preprocess import fill_params, fill_trials, get_config, get_params
+    from vlgp.util import cut_trials
+
+    ref_trials = [
+        {"y": np.asarray(t["y"], float), "mu": np.asarray(t["mu"], float),
+         "x": np.ones((LENGTH, 1, YDIM))}
+        for t in trials
+    ]
+    config = get_config()
+    params = get_params(ref_trials, ZDIM, omega_bound=config["omega_bound"])
+    rng = np.random.default_rng(0)
+    params["a"] = rng.normal(size=(ZDIM, YDIM)) * 0.3
+    params["b"] = np.full((1, YDIM), -2.0)
+    fill_params(params)
+    fill_trials(ref_trials)
+    np.random.seed(0)
+    splits = cut_trials(ref_trials, params, config)
+    make_cholesky(splits, params, config)
+    fill_trials(splits)
+    update_w(splits, params, config)
+    update_v(splits, params, config)
+
+    t0 = time.perf_counter()
+    constrain_loading(splits, params, config)
+    estep(splits, params, config)
+    mstep(splits, params, config)
+    optimize(splits, params, config)
+    return time.perf_counter() - t0
+
+
+def main():
+    trials, a = make_workload()
+    per_iter = bench_ours(trials, a)
+    value = 1.0 / per_iter
+
+    baseline = None
+    if CACHE.exists():
+        try:
+            baseline = json.loads(CACHE.read_text()).get("ref_em_iter_seconds")
+        except Exception:
+            baseline = None
+    if baseline is None:
+        try:
+            baseline = bench_reference(trials)
+            if baseline is not None:
+                CACHE.write_text(
+                    json.dumps(
+                        {
+                            "ref_em_iter_seconds": baseline,
+                            "config": f"{NTRIAL}x{LENGTH}x{YDIM}, {ZDIM} latents, "
+                                      "window 50, Eniter/Mniter 25",
+                        }
+                    )
+                )
+        except Exception:
+            baseline = None
+
+    vs = (baseline / per_iter) if baseline else None
+    print(
+        json.dumps(
+            {
+                "metric": f"vem_em_iters_per_sec_{NTRIAL}x{LENGTH}x{YDIM}x{ZDIM}",
+                "value": round(value, 4),
+                "unit": "iter/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -14,29 +14,30 @@ from vlgp_tpu.models.vlgp import _marginal_variance, _woodbury_delta, estep, upd
 
 def test_woodbury_delta_matches_dense():
     """delta = S (G G' s - mu) with S = (I + K W)^{-1}: the Newton step the
-    reference assembles piecewise at core.py:85-97."""
+    reference assembles piecewise at core.py:85-97.  Inputs latent-major
+    (Z, S, T)."""
     rng = np.random.default_rng(0)
     T, R, Z, S = 40, 40, 2, 3
     G = np.stack([np.linalg.cholesky(
         np.exp(-om * (np.arange(T)[:, None] - np.arange(T)) ** 2) + 1e-8 * np.eye(T)
     ) for om in (1e-2, 3e-2)])  # (Z, T, R) full-rank factors
-    s = rng.normal(size=(S, T, Z))
-    mu = rng.normal(size=(S, T, Z))
-    w = np.abs(rng.normal(size=(S, T, Z))) + 0.1
+    s = rng.normal(size=(Z, S, T))
+    mu = rng.normal(size=(Z, S, T))
+    w = np.abs(rng.normal(size=(Z, S, T))) + 0.1
 
-    delta, _ = _woodbury_delta(
-        jnp.asarray(G), jnp.asarray(s), jnp.asarray(mu), jnp.asarray(w), 0.0
+    delta = np.asarray(
+        _woodbury_delta(jnp.asarray(G), jnp.asarray(s), jnp.asarray(mu),
+                        jnp.asarray(w), 0.0)
     )
-    delta = np.asarray(delta)
 
     for i in range(S):
         for l in range(Z):
             K = G[l] @ G[l].T
-            u = K @ s[i, :, l] - mu[i, :, l]
-            W = np.diag(w[i, :, l])
+            u = K @ s[l, i] - mu[l, i]
+            W = np.diag(w[l, i])
             # delta = u - K W (I + K W)^-1 u  == (I + KW)^-1 u
             expected = np.linalg.solve(np.eye(T) + K @ W, u)
-            assert np.abs(delta[i, :, l] - expected).max() < 1e-8
+            assert np.abs(delta[l, i] - expected).max() < 1e-8
 
 
 def test_marginal_variance_matches_dense():
@@ -45,13 +46,13 @@ def test_marginal_variance_matches_dense():
     G = np.stack([np.linalg.cholesky(
         np.exp(-om * (np.arange(T)[:, None] - np.arange(T)) ** 2) + 1e-8 * np.eye(T)
     ) for om in (1e-2, 3e-2)])
-    w = np.abs(rng.normal(size=(S, T, Z))) + 0.1
+    w = np.abs(rng.normal(size=(Z, S, T))) + 0.1
     v = np.asarray(_marginal_variance(jnp.asarray(G), jnp.asarray(w), 0.0))
     for i in range(S):
         for l in range(Z):
             K = G[l] @ G[l].T
-            Spost = np.linalg.inv(np.linalg.inv(K + 1e-10 * np.eye(T)) + np.diag(w[i, :, l]))
-            assert np.abs(v[i, :, l] - np.diag(Spost)).max() < 1e-5
+            Spost = np.linalg.inv(np.linalg.inv(K + 1e-10 * np.eye(T)) + np.diag(w[l, i]))
+            assert np.abs(v[l, i] - np.diag(Spost)).max() < 1e-5
 
 
 def test_posterior_cov_matches_dense():

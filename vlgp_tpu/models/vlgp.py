@@ -17,6 +17,12 @@ iteration one batched XLA computation here:
     unnecessary: the Woodbury system ``I + G'WG`` has eigenvalues >= 1 and
     the Newton systems carry explicit jitter.
 
+TPU layout note: the container stores posterior tensors as (N, T, zdim)
+(user-facing), but all hot-loop math runs **latent-major** (zdim, N, T).
+With zdim ~ 5 a trailing latent axis wastes 123/128 lanes of every vector
+tile; latent-major keeps the time axis minor and turns every Woodbury
+contraction into well-shaped batched matmuls.
+
 Every public function takes an optional :class:`Dist` naming the mesh axes;
 with the default (no axes) the same code runs single-device.  Axis
 semantics: ``data`` shards segments/trials, ``model`` shards channels.
@@ -56,20 +62,30 @@ def _psum(x, axis: Optional[str]):
     return x if axis is None else lax.psum(x, axis)
 
 
+def _zmajor(x):
+    """(N, T, Z) -> (Z, N, T)."""
+    return jnp.transpose(x, (2, 0, 1))
+
+
+def _zminor(x):
+    """(Z, N, T) -> (N, T, Z)."""
+    return jnp.transpose(x, (1, 2, 0))
+
+
 def _xb(x, b):
     """Regressor contribution: einsum('ijk,jk->ik') batched (core.py:66)."""
     return jnp.einsum("stxy,xy->sty", x, b)
 
 
-def _rates(eta, v, a):
+def _eta(muz, a, xb):
+    """Linear predictor (S, T, Y) from latent-major mu (core.py:69)."""
+    return jnp.einsum("zst,zy->sty", muz, a) + xb
+
+
+def _rates(eta, vz, a):
     """Posterior mean of the Poisson rate exp(eta + 0.5 * Var[eta])
     (core.py:70: lognormal mean with truncated exponent)."""
-    return trunc_exp(eta + 0.5 * jnp.einsum("stz,zy->sty", v, a * a))
-
-
-def _weights(U, a, dist: Dist):
-    """w = U @ (a.T)^2 (core.py:104): per-latent likelihood precision."""
-    return _psum(jnp.einsum("sty,zy->stz", U, a * a), dist.model)
+    return trunc_exp(eta + jnp.einsum("zst,zy->sty", vz, 0.5 * a * a))
 
 
 def _residual(y, eta, r, params: Params):
@@ -77,59 +93,57 @@ def _residual(y, eta, r, params: Params):
     return jnp.where(params.poisson, y - r, (y - eta) / params.noise)
 
 
-def _woodbury_delta(G, s, mu, wm, eps):
+def _weights(U, a, dist: Dist):
+    """w = U @ (a.T)^2 latent-major (core.py:104)."""
+    return _psum(jnp.einsum("sty,zy->zst", U, a * a), dist.model)
+
+
+def _chol_solve_vec(L, b):
+    """Solve (L L') x = b for stacked vectors b (..., R)."""
+    y = lax.linalg.triangular_solve(L, b[..., None], left_side=True, lower=True)
+    return lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True
+    )[..., 0]
+
+
+def _woodbury_delta(G, s, muz, wmz, eps):
     """Natural-gradient E-step update via the low-rank Woodbury identity.
 
-    Implements core.py:85-97 for all (segment, latent) pairs at once:
-      u      = G G' s - mu
-      M      = (I + G'WG)^{-1} (WG)'u
-      delta  = u - G (WG)'u + G (G'WG) M
+    Implements core.py:85-97 for all (latent, segment) pairs at once, in the
+    simplified form delta = u - G (I + G'WG)^{-1} G'(w u)  (algebraically
+    identical to the reference's three-term assembly; see
+    tests/test_estep_oracle.py for the dense-oracle check).
 
-    G: (Z, T, R) prior factors; s: (S, T, Z) residual projections;
-    mu, wm: (S, T, Z).  Returns (delta, GtWG) with GtWG: (S, Z, R, R).
+    G: (Z, T, R) prior factors; s, muz, wmz: (Z, S, T).
     """
     R = G.shape[-1]
-    Gts = jnp.einsum("ztr,stz->szr", G, s)
-    u = jnp.einsum("ztr,szr->stz", G, Gts) - mu
-    GtWG = jnp.einsum("ztr,stz,ztq->szrq", G, wm, G)
-    wGu = jnp.einsum("ztr,stz,stz->szr", G, wm, u)
+    Gts = jnp.einsum("ztr,zst->zsr", G, s)
+    u = jnp.einsum("ztr,zsr->zst", G, Gts) - muz
+    GtWG = jnp.einsum("ztr,zst,ztq->zsrq", G, wmz, G)
     Ir = jnp.eye(R, dtype=G.dtype)
     # I + G'WG is SPD with eigenvalues >= 1: Cholesky always succeeds.
-    L = jnp.linalg.cholesky(Ir + GtWG + eps * Ir)
-    M = lax.linalg.triangular_solve(
-        L,
-        lax.linalg.triangular_solve(L, wGu[..., None], left_side=True, lower=True),
-        left_side=True,
-        lower=True,
-        transpose_a=True,
-    )[..., 0]
-    delta = (
-        u
-        - jnp.einsum("ztr,szr->stz", G, wGu)
-        + jnp.einsum("ztr,szrq,szq->stz", G, GtWG, M)
-    )
-    return delta, GtWG
+    L = jnp.linalg.cholesky((1.0 + eps) * Ir + GtWG)
+    Gwu = jnp.einsum("ztr,zst->zsr", G, wmz * u)
+    M = _chol_solve_vec(L, Gwu)
+    delta = u - jnp.einsum("ztr,zsr->zst", G, M)
+    return delta
 
 
-def _marginal_variance(G, wm, eps):
+def _marginal_variance(G, wmz, eps):
     """VB marginal posterior variance (core.py:105-114, 445-471).
 
-    v_l = rowsum(G * (G - G A + G A M)) with A = G'WG, M = (I+A)^{-1} A,
-    i.e. v = diag(GG' - GG' W (I + GG'W)^{-1} GG') via Woodbury.
+    The reference computes rowsum(G * (G - G A + G A (I+A)^{-1} A)) with
+    A = G'WG; the bracket telescopes to (I + A)^{-1}, so
+    v = diag(G (I + G'WG)^{-1} G').
     """
     R = G.shape[-1]
     Ir = jnp.eye(R, dtype=G.dtype)
-    GtWG = jnp.einsum("ztr,stz,ztq->szrq", G, wm, G)
-    L = jnp.linalg.cholesky(Ir + GtWG + eps * Ir)
-    M = lax.linalg.triangular_solve(
-        L,
-        lax.linalg.triangular_solve(L, GtWG, left_side=True, lower=True),
-        left_side=True,
-        lower=True,
-        transpose_a=True,
-    )
-    inner = Ir - GtWG + GtWG @ M
-    return jnp.einsum("ztr,szrq,ztq->stz", G, inner, G)
+    GtWG = jnp.einsum("ztr,zst,ztq->zsrq", G, wmz, G)
+    L = jnp.linalg.cholesky((1.0 + eps) * Ir + GtWG)
+    eye = jnp.broadcast_to(Ir, L.shape)
+    Linv = lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    inner = jnp.einsum("zskr,zskq->zsrq", Linv, Linv)
+    return jnp.einsum("ztr,zsrq,ztq->zst", G, inner, G)
 
 
 def estep(
@@ -147,54 +161,55 @@ def estep(
         return data
 
     y, x, mask = data.y, data.x, data.mask
-    maskz = mask[..., None]
     xb = _xb(x, params.b)
     a = params.a
     eps = config.eps
     vb = config.method == "VB"
+    maskz = mask[None]  # broadcast over the leading latent axis
 
     def sweep(_, carry):
-        mu, w, v, dmu = carry
-        eta = jnp.einsum("stz,zy->sty", mu, a) + xb
-        r = _rates(eta, v, a)
+        muz, wz, vz, dmuz = carry
+        eta = _eta(muz, a, xb)
+        r = _rates(eta, vz, a)
         residual = _residual(y, eta, r, params) * mask[..., None]
-        s = _psum(jnp.einsum("sty,zy->stz", residual, a), dist.model)
-        wm = w * maskz
-        delta, _ = _woodbury_delta(G, s, mu, wm, eps)
+        s = _psum(jnp.einsum("sty,zy->zst", residual, a), dist.model)
+        delta = _woodbury_delta(G, s, muz, wz * maskz, eps)
         delta = jnp.clip(delta, -config.dmu_bound, config.dmu_bound) * maskz
-        mu = mu + delta
-        dmu = delta
+        muz = muz + delta
+        dmuz = delta
         # refresh weights under the updated posterior (core.py:100-104)
-        eta = jnp.einsum("stz,zy->sty", mu, a) + xb
-        r = _rates(eta, v, a)
+        eta = _eta(muz, a, xb)
+        r = _rates(eta, vz, a)
         U = jnp.where(params.poisson, r, 1.0 / params.noise)
-        w = _weights(U, a, dist) * maskz
+        wz = _weights(U, a, dist) * maskz
         if vb:
-            v = _marginal_variance(G, w * maskz, eps) * maskz
-        return mu, w, v, dmu
+            vz = _marginal_variance(G, wz, eps) * maskz
+        return muz, wz, vz, dmuz
 
-    mu, w, v, dmu = lax.fori_loop(
-        0, niter, sweep, (data.mu, data.w, data.v, data.dmu)
+    init = (_zmajor(data.mu), _zmajor(data.w), _zmajor(data.v), _zmajor(data.dmu))
+    muz, wz, vz, dmuz = lax.fori_loop(0, niter, sweep, init)
+    return data.replace(
+        mu=_zminor(muz), w=_zminor(wz), v=_zminor(vz), dmu=_zminor(dmuz)
     )
-    return data.replace(mu=mu, w=w, v=v, dmu=dmu)
 
 
 def update_w(data: TrialSet, params: Params, config: Config, dist: Dist = Dist()) -> TrialSet:
     """Recompute likelihood precision weights (core.py:419-442)."""
-    eta = jnp.einsum("stz,zy->sty", data.mu, params.a) + _xb(data.x, params.b)
-    r = _rates(eta, data.v, params.a)
+    muz, vz = _zmajor(data.mu), _zmajor(data.v)
+    eta = _eta(muz, params.a, _xb(data.x, params.b))
+    r = _rates(eta, vz, params.a)
     U = jnp.where(params.poisson, r, 1.0 / params.noise)
-    w = _weights(U, params.a, dist) * data.mask[..., None]
-    return data.replace(w=w)
+    wz = _weights(U, params.a, dist) * data.mask[None]
+    return data.replace(w=_zminor(wz))
 
 
 def update_v(data: TrialSet, params: Params, G, config: Config, dist: Dist = Dist()) -> TrialSet:
     """Recompute VB marginal posterior variance (core.py:445-471)."""
     if config.method != "VB":
         return data
-    maskz = data.mask[..., None]
-    v = _marginal_variance(G, data.w * maskz, config.eps) * maskz
-    return data.replace(v=v)
+    wz = _zmajor(data.w) * data.mask[None]
+    vz = _marginal_variance(G, wz, config.eps) * data.mask[None]
+    return data.replace(v=_zminor(vz))
 
 
 def _masked_var(resid, mask, dist: Dist):
@@ -225,39 +240,42 @@ def mstep(
         return params
 
     y, x, mask = data.y, data.x, data.mask
-    mu, v = data.mu, data.v
+    muz, vz = _zmajor(data.mu), _zmajor(data.v)
     m = mask[..., None]
-    mum = mu * m
-    vm = v * m
+    maskz = mask[None]
+    mum = muz * maskz
+    vm = vz * maskz
     eps = config.eps
     zdim = params.zdim
     xdim = params.xdim
     Iz = jnp.eye(zdim, dtype=y.dtype)
     Ix = jnp.eye(xdim, dtype=y.dtype)
     pois = params.poisson
+    xm = x * m[..., None]
 
     # data-independent Gaussian normal equations (core.py:224-226)
-    Mg = _psum(jnp.einsum("stz,stk->zk", mum, mu), dist.data)
-    Mg = Mg + jnp.diag(_psum(jnp.sum(vm, axis=(0, 1)), dist.data))
-    xtx = _psum(jnp.einsum("stxn,stqn->nxq", x * m[..., None], x), dist.data)
+    Mg = _psum(jnp.einsum("zst,kst->zk", mum, muz), dist.data)
+    Mg = Mg + jnp.diag(_psum(jnp.sum(vm, axis=(1, 2)), dist.data))
+    xtx = _psum(jnp.einsum("stxn,stqn->nxq", xm, x), dist.data)
 
     def iteration(_, carry):
         a, b, noise, da, db = carry
-        eta = jnp.einsum("stz,zy->sty", mu, a) + _xb(x, b)
-        r = _rates(eta, v, a)
+        xb = _xb(x, b)
+        eta = _eta(muz, a, xb)
+        r = _rates(eta, vz, a)
         noise = _masked_var(y - eta, mask, dist)
         rm = r * m
         ym = y * m
 
         # ---- Poisson loading update (core.py:182-200) ----
-        C1 = _psum(jnp.einsum("stz,sty->zy", mum, y - r), dist.data)
-        C2 = _psum(jnp.einsum("stz,sty->zy", vm, r), dist.data)
+        C1 = _psum(jnp.einsum("zst,sty->zy", mum, y - r), dist.data)
+        C2 = _psum(jnp.einsum("zst,sty->zy", vm, r), dist.data)
         grad_a = C1 - a * C2  # (z, y)
         # Hessian of -loglik w.r.t. a[:, n], built from shared stats:
         # (mu + v a_n)' diag(r_n) (mu + v a_n) + diag(r_n' v)
-        E1 = _psum(jnp.einsum("sty,stz,stk->yzk", rm, mu, mu), dist.data)
-        E2 = _psum(jnp.einsum("sty,stz,stk->yzk", rm, v, mu), dist.data)
-        E3 = _psum(jnp.einsum("sty,stz,stk->yzk", rm, v, v), dist.data)
+        E1 = _psum(jnp.einsum("sty,zst,kst->yzk", rm, muz, muz), dist.data)
+        E2 = _psum(jnp.einsum("sty,zst,kst->yzk", rm, vz, muz), dist.data)
+        E3 = _psum(jnp.einsum("sty,zst,kst->yzk", rm, vz, vz), dist.data)
         an = a.T  # (y, z)
         nhess = (
             E1
@@ -279,11 +297,9 @@ def mstep(
         b_pois = b + delta_b
 
         # ---- Gaussian closed form (core.py:221-235) ----
-        rhs_a = _psum(
-            jnp.einsum("stz,sty->zy", mum, y - _xb(x, b)), dist.data
-        )
+        rhs_a = _psum(jnp.einsum("zst,sty->zy", mum, y - _xb(x, b)), dist.data)
         a_gauss = jnp.linalg.solve(Mg, rhs_a)
-        resid = ym - jnp.einsum("stz,zy->sty", mum, a_gauss)
+        resid = ym - _eta(mum, a_gauss, jnp.zeros_like(y))
         rhs_b = _psum(jnp.einsum("stxy,sty->yx", x, resid), dist.data)
         b_gauss = jnp.linalg.solve(xtx + eps * Ix, rhs_b[..., None])[..., 0].T
         # zero the history-filter rows, keep the bias (core.py:235)

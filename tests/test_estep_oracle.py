@@ -9,7 +9,13 @@ import jax.numpy as jnp
 from vlgp_tpu.config import default_config, make_params
 from vlgp_tpu.data import pack_trials
 from vlgp_tpu.models.gp import make_cholesky, posterior_cov
-from vlgp_tpu.models.vlgp import _marginal_variance, _woodbury_delta, estep, update_w
+from vlgp_tpu.models.vlgp import (
+    _marginal_variance,
+    _woodbury_delta,
+    _woodbury_inverse,
+    estep,
+    update_w,
+)
 
 
 def test_woodbury_delta_matches_dense():
@@ -25,9 +31,10 @@ def test_woodbury_delta_matches_dense():
     mu = rng.normal(size=(Z, S, T))
     w = np.abs(rng.normal(size=(Z, S, T))) + 0.1
 
+    X = _woodbury_inverse(jnp.asarray(G), jnp.asarray(w))
     delta = np.asarray(
         _woodbury_delta(jnp.asarray(G), jnp.asarray(s), jnp.asarray(mu),
-                        jnp.asarray(w), 0.0)
+                        jnp.asarray(w), X)
     )
 
     for i in range(S):

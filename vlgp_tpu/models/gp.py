@@ -21,6 +21,7 @@ from jax import lax
 from ..config import Config, Params
 from ..data import TrialSet
 from ..ops.ichol import ichol_gauss_batch
+from ..ops.spd import inv_one_plus_psd
 from .vlgp import Dist, _psum
 
 __all__ = [
@@ -82,14 +83,23 @@ def posterior_cov_stack(w, T: int, omega, sigmasq, gp_noise, dt, mask=None):
     """Per-segment dense posterior covariances at the current kernel.
 
     S_i = (K^-1 + diag(w_i))^-1, batched over segments
-    (``construct_posterior_cov``, gp.py:126-147).  w: (S, T) -> (S, T, T).
+    (``construct_posterior_cov``, gp.py:126-147), computed in the
+    well-conditioned Woodbury form
+
+        S = K - K W^{1/2} (I + W^{1/2} K W^{1/2})^{-1} W^{1/2} K
+
+    whose inner system has eigenvalues >= 1 (the reference's direct form
+    factorizes K^-1 + W with condition ~1/gp_noise, and needs the retry
+    loop at gp.py:129-135).  w: (S, T) -> (S, T, T).
     """
     K = se_kernel_grid(T, omega, sigmasq, gp_noise, dt, dtype=w.dtype)
-    Kinv = _chol_inv(jnp.linalg.cholesky(K))
     if mask is not None:
         w = w * mask
-    P = Kinv[None] + w[:, :, None] * jnp.eye(T, dtype=w.dtype)[None]
-    return _chol_inv(jnp.linalg.cholesky(P))
+    sw = jnp.sqrt(w)  # (S, T)
+    B = sw[:, :, None] * K[None] * sw[:, None, :]
+    X = inv_one_plus_psd(B, iters=18)
+    C = sw[:, :, None] * K[None]  # C[s,t,u] = sw[s,t] K[t,u]  (= W^1/2 K)
+    return K[None] - jnp.einsum("sut,suv,svx->stx", C, X, C)
 
 
 def gp_elbo(log_omega, mu, Sig, T: int, sigmasq, gp_noise, dt,

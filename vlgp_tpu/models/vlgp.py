@@ -38,6 +38,7 @@ from jax import lax
 from ..config import Config, Params
 from ..data import TrialSet
 from ..ops.math import trunc_exp
+from ..ops.spd import inv_one_plus_psd
 
 __all__ = [
     "Dist",
@@ -98,15 +99,21 @@ def _weights(U, a, dist: Dist):
     return _psum(jnp.einsum("sty,zy->zst", U, a * a), dist.model)
 
 
-def _chol_solve_vec(L, b):
-    """Solve (L L') x = b for stacked vectors b (..., R)."""
-    y = lax.linalg.triangular_solve(L, b[..., None], left_side=True, lower=True)
-    return lax.linalg.triangular_solve(
-        L, y, left_side=True, lower=True, transpose_a=True
-    )[..., 0]
+def _woodbury_inverse(G, wmz, iters: int = 16):
+    """X = (I + G'WG)^{-1} for every (latent, segment) pair.
+
+    The shared core of the E-step: the Newton direction (core.py:89) and
+    the VB marginal variance (core.py:110) both need this inverse, at the
+    *same* weights — computed once per sweep and carried (see estep).
+    G: (Z, T, R); wmz: (Z, S, T) -> (Z, S, R, R).
+    """
+    GtWG = jnp.einsum("ztr,zst,ztq->zsrq", G, wmz, G)
+    # I + G'WG is SPD with eigenvalues >= 1; Newton-Schulz on TPU,
+    # exact Cholesky elsewhere (ops/spd.py)
+    return inv_one_plus_psd(GtWG, iters=iters)
 
 
-def _woodbury_delta(G, s, muz, wmz, eps):
+def _woodbury_delta(G, s, muz, wmz, X):
     """Natural-gradient E-step update via the low-rank Woodbury identity.
 
     Implements core.py:85-97 for all (latent, segment) pairs at once, in the
@@ -114,36 +121,30 @@ def _woodbury_delta(G, s, muz, wmz, eps):
     identical to the reference's three-term assembly; see
     tests/test_estep_oracle.py for the dense-oracle check).
 
-    G: (Z, T, R) prior factors; s, muz, wmz: (Z, S, T).
+    G: (Z, T, R) prior factors; s, muz, wmz: (Z, S, T);
+    X: (Z, S, R, R) the inverse from :func:`_woodbury_inverse` at wmz.
     """
-    R = G.shape[-1]
     Gts = jnp.einsum("ztr,zst->zsr", G, s)
     u = jnp.einsum("ztr,zsr->zst", G, Gts) - muz
-    GtWG = jnp.einsum("ztr,zst,ztq->zsrq", G, wmz, G)
-    Ir = jnp.eye(R, dtype=G.dtype)
-    # I + G'WG is SPD with eigenvalues >= 1: Cholesky always succeeds.
-    L = jnp.linalg.cholesky((1.0 + eps) * Ir + GtWG)
     Gwu = jnp.einsum("ztr,zst->zsr", G, wmz * u)
-    M = _chol_solve_vec(L, Gwu)
+    M = jnp.einsum("zsrq,zsq->zsr", X, Gwu)
     delta = u - jnp.einsum("ztr,zsr->zst", G, M)
     return delta
 
 
-def _marginal_variance(G, wmz, eps):
+def _marginal_variance_from_inv(G, X):
     """VB marginal posterior variance (core.py:105-114, 445-471).
 
     The reference computes rowsum(G * (G - G A + G A (I+A)^{-1} A)) with
     A = G'WG; the bracket telescopes to (I + A)^{-1}, so
-    v = diag(G (I + G'WG)^{-1} G').
+    v = diag(G (I + G'WG)^{-1} G') with the inverse X precomputed.
     """
-    R = G.shape[-1]
-    Ir = jnp.eye(R, dtype=G.dtype)
-    GtWG = jnp.einsum("ztr,zst,ztq->zsrq", G, wmz, G)
-    L = jnp.linalg.cholesky((1.0 + eps) * Ir + GtWG)
-    eye = jnp.broadcast_to(Ir, L.shape)
-    Linv = lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
-    inner = jnp.einsum("zskr,zskq->zsrq", Linv, Linv)
-    return jnp.einsum("ztr,zsrq,ztq->zst", G, inner, G)
+    return jnp.einsum("ztr,zsrq,ztq->zst", G, X, G)
+
+
+def _marginal_variance(G, wmz, eps, iters: int = 16):
+    """Standalone v update (used by update_v, core.py:445-471)."""
+    return _marginal_variance_from_inv(G, _woodbury_inverse(G, wmz, iters))
 
 
 def estep(
@@ -163,17 +164,20 @@ def estep(
     y, x, mask = data.y, data.x, data.mask
     xb = _xb(x, params.b)
     a = params.a
-    eps = config.eps
     vb = config.method == "VB"
     maskz = mask[None]  # broadcast over the leading latent axis
 
     def sweep(_, carry):
-        muz, wz, vz, dmuz = carry
+        muz, wz, vz, dmuz, X = carry
+        # X is (I + G'WG)^{-1} at the carried weights wz — computed at the
+        # end of the previous sweep (or from the initial weights), which is
+        # exactly the system the Newton step needs here (the reference
+        # rebuilds it from the same stale w at core.py:85-89).
         eta = _eta(muz, a, xb)
         r = _rates(eta, vz, a)
         residual = _residual(y, eta, r, params) * mask[..., None]
         s = _psum(jnp.einsum("sty,zy->zst", residual, a), dist.model)
-        delta = _woodbury_delta(G, s, muz, wz * maskz, eps)
+        delta = _woodbury_delta(G, s, muz, wz * maskz, X)
         delta = jnp.clip(delta, -config.dmu_bound, config.dmu_bound) * maskz
         muz = muz + delta
         dmuz = delta
@@ -182,12 +186,16 @@ def estep(
         r = _rates(eta, vz, a)
         U = jnp.where(params.poisson, r, 1.0 / params.noise)
         wz = _weights(U, a, dist) * maskz
+        X = _woodbury_inverse(G, wz)
         if vb:
-            vz = _marginal_variance(G, wz, eps) * maskz
-        return muz, wz, vz, dmuz
+            vz = _marginal_variance_from_inv(G, X) * maskz
+        return muz, wz, vz, dmuz, X
 
-    init = (_zmajor(data.mu), _zmajor(data.w), _zmajor(data.v), _zmajor(data.dmu))
-    muz, wz, vz, dmuz = lax.fori_loop(0, niter, sweep, init)
+    muz = _zmajor(data.mu)
+    wz = _zmajor(data.w) * maskz
+    X0 = _woodbury_inverse(G, wz)
+    init = (muz, wz, _zmajor(data.v), _zmajor(data.dmu), X0)
+    muz, wz, vz, dmuz, _ = lax.fori_loop(0, niter, sweep, init)
     return data.replace(
         mu=_zminor(muz), w=_zminor(wz), v=_zminor(vz), dmu=_zminor(dmuz)
     )

@@ -1,0 +1,140 @@
+"""Utility-layer tests: design matrices, rotations, misc (vs reference
+where available)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from refshim import load_reference
+from vlgp_tpu.utils.design import add_constant, auto, history, lagmat, makeregressor
+from vlgp_tpu.utils.misc import (
+    count,
+    ensure_key,
+    orthomax,
+    promax,
+    rotate,
+    smooth,
+    transform_timescale,
+    trial_slices,
+    varimax,
+)
+
+ref = load_reference()
+
+
+@pytest.mark.skipif(ref is None, reason="reference unavailable")
+def test_lagmat_parity():
+    from vlgp.util import lagmat as ref_lagmat
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=30)
+    for lag in (1, 3, 5):
+        ours = np.asarray(lagmat(jnp.asarray(x), lag))
+        theirs = ref_lagmat(x, lag)
+        assert np.allclose(ours, theirs), lag
+
+
+@pytest.mark.skipif(ref is None, reason="reference unavailable")
+def test_add_constant_parity():
+    from vlgp.util import add_constant as ref_ac
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(10, 3))
+    assert np.allclose(np.asarray(add_constant(jnp.asarray(x))), ref_ac(x))
+
+
+@pytest.mark.skipif(ref is None, reason="reference unavailable")
+def test_history_parity():
+    from vlgp.util import history as ref_hist
+
+    rng = np.random.default_rng(2)
+    obs = rng.normal(size=(25, 4))
+    ours = np.asarray(history(jnp.asarray(obs), 3))
+    theirs = ref_hist(obs, 3)
+    assert ours.shape == theirs.shape
+    assert np.allclose(ours, theirs)
+
+
+@pytest.mark.skipif(ref is None, reason="reference unavailable")
+def test_makeregressor_parity():
+    from vlgp.util import makeregressor as ref_mr
+
+    rng = np.random.default_rng(3)
+    obs = rng.normal(size=(20, 3))
+    assert np.allclose(np.asarray(makeregressor(obs, 4)), ref_mr(obs, 4))
+
+
+@pytest.mark.skipif(ref is None, reason="reference unavailable")
+def test_varimax_parity():
+    from vlgp.util import varimax as ref_vm
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(40, 3))
+    z, TT = varimax(x)
+    zr, TTr = ref_vm(x.copy())
+    assert np.allclose(np.asarray(z), zr, atol=1e-6)
+
+
+def test_rotate_aligns():
+    rng = np.random.default_rng(5)
+    z = rng.normal(size=(100, 3))
+    R = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+    x = z @ R
+    aligned = np.asarray(rotate(jnp.asarray(x), jnp.asarray(z)))
+    assert np.allclose(aligned, z, atol=1e-8)
+
+
+def test_count_bins_spikes():
+    t = np.array([0.1, 0.2, 0.25, 0.9, 1.5])
+    c = count(t, 0.5)
+    assert c.sum() == 5
+    assert c[0] == 3
+
+
+def test_smooth_shapes():
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(200, 3))
+    y = np.asarray(smooth(jnp.asarray(x), sigma=5))
+    assert y.shape == x.shape
+    assert y.std() < x.std()  # smoothing reduces variance
+
+
+def test_trial_slices():
+    s = trial_slices([3, 5, 2])
+    assert s == [slice(0, 3), slice(3, 8), slice(8, 10)]
+
+
+def test_transform_timescale():
+    assert np.isclose(float(transform_timescale(10.0, 1.0)), 0.005)
+
+
+def test_orthomax_promax_run():
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(30, 3))
+    B, T = orthomax(jnp.asarray(A))
+    assert B.shape == A.shape
+    z, U = promax(jnp.asarray(A))
+    assert z.shape == A.shape
+
+
+def test_ensure_key():
+    import jax
+
+    k = ensure_key(3)
+    k2 = ensure_key(k)
+    assert (np.asarray(jax.random.key_data(k)) == np.asarray(jax.random.key_data(k2))).all()
+
+
+def test_base_vlgp_class():
+    from vlgp_tpu.base import VLGP
+
+    rng = np.random.default_rng(8)
+    a = rng.normal(size=(2, 10)) * 0.5
+    trials = []
+    for _ in range(3):
+        z = np.column_stack((np.sin(np.linspace(0, 6, 80)), np.cos(np.linspace(0, 6, 80))))
+        trials.append({"y": rng.poisson(np.exp(z @ a - 1.5)).astype(float)})
+    m = VLGP(2, max_iter=2, min_iter=1, dtype="float64")
+    assert not m.isfitted
+    out = m.fit(trials)
+    assert m.isfitted and m.weight.shape == (2, 10)
+    m.transform(trials)

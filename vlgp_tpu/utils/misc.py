@@ -129,3 +129,36 @@ def rotate(x, y):
     """Least-squares alignment of x onto y (util.py:108-118)."""
     beta, *_ = jnp.linalg.lstsq(jnp.asarray(x), jnp.asarray(y), rcond=None)
     return x @ beta
+
+
+def trial_slices(trial_lengths):
+    """Slices of each trial inside a concatenated array (util.py:321-331)."""
+    import numpy as _np
+
+    ends = _np.cumsum([0] + list(trial_lengths))
+    return [slice(int(ends[i]), int(ends[i + 1])) for i in range(len(trial_lengths))]
+
+
+def log_calls(f):
+    """Decorator logging each call (util.py:420-426)."""
+    import functools as _functools
+    import logging as _logging
+
+    logger = _logging.getLogger("vlgp_tpu")
+
+    @_functools.wraps(f)
+    def wrapper(*args, **kwargs):
+        logger.info("%s is called", f.__name__)
+        return f(*args, **kwargs)
+
+    return wrapper
+
+
+def ensure_key(seed_or_key):
+    """Turn an int seed / PRNG key into a PRNG key (the JAX-native analog of
+    check_random_state, util.py:502-512)."""
+    import jax as _jax
+
+    if isinstance(seed_or_key, int):
+        return _jax.random.PRNGKey(seed_or_key)
+    return seed_or_key

@@ -110,17 +110,20 @@ def pack_trials(
         mask[i, :L] = 1.0
 
     zeros = np.zeros((n, tmax, zdim), dtype)
+    # host-side numpy: the single host->device transfer happens at the
+    # first jitted call (device round-trips here are pure overhead on a
+    # remote-attached TPU)
     return TrialSet(
-        y=jnp.asarray(y),
-        x=jnp.asarray(x),
-        mask=jnp.asarray(mask),
-        mu=jnp.asarray(mu),
-        w=jnp.asarray(zeros),
-        v=jnp.asarray(zeros),
-        dmu=jnp.asarray(zeros),
-        trial_idx=jnp.arange(n, dtype=jnp.int32),
-        start=jnp.zeros(n, jnp.int32),
-        lengths=jnp.asarray(lengths),
+        y=y,
+        x=x,
+        mask=mask,
+        mu=mu,
+        w=zeros,
+        v=zeros.copy(),
+        dmu=zeros.copy(),
+        trial_idx=np.arange(n, dtype=np.int32),
+        start=np.zeros(n, np.int32),
+        lengths=lengths,
     )
 
 
@@ -176,7 +179,7 @@ def cut_trials(data: TrialSet, window: Optional[int], seed: int = 0) -> TrialSet
             out = out * in_range.reshape(in_range.shape + (1,) * (out.ndim - 2))
         else:
             out = out * in_range
-        return jnp.asarray(out)
+        return out
 
     seg_lengths = np.minimum(lengths[idxs_a] - starts_a, window).astype(np.int32)
     return TrialSet(
@@ -187,9 +190,9 @@ def cut_trials(data: TrialSet, window: Optional[int], seed: int = 0) -> TrialSet
         w=gather(data.w),
         v=gather(data.v),
         dmu=gather(data.dmu),
-        trial_idx=jnp.asarray(idxs_a),
-        start=jnp.asarray(starts_a),
-        lengths=jnp.asarray(seg_lengths),
+        trial_idx=idxs_a,
+        start=starts_a,
+        lengths=seg_lengths,
     )
 
 
@@ -215,7 +218,7 @@ def scatter_segments(full: TrialSet, segments: TrialSet) -> TrialSet:
         mu[i, s:stop] = seg_mu[k, : stop - s]
         w[i, s:stop] = seg_w[k, : stop - s]
         v[i, s:stop] = seg_v[k, : stop - s]
-    return full.replace(mu=jnp.asarray(mu), w=jnp.asarray(w), v=jnp.asarray(v))
+    return full.replace(mu=mu, w=w, v=v)
 
 
 def unpack_trials(data: TrialSet, trials: Optional[Sequence[dict]] = None) -> List[dict]:

@@ -52,6 +52,18 @@ __version__ = "0.1.0"
 logger = _logging.getLogger("vlgp_tpu")
 
 
+def enable_compilation_cache(path: str = ".jax_cache") -> None:
+    """Persist compiled XLA executables across processes.
+
+    Worth enabling on remote-attached TPUs where each compile pays a
+    round-trip to a compile service.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def enable_file_logging(path: str = "vlgp_tpu.log", level=_logging.INFO) -> None:
     handler = _logging.FileHandler(path)
     handler.setFormatter(

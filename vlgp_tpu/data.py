@@ -172,8 +172,14 @@ def cut_trials(data: TrialSet, window: Optional[int], seed: int = 0) -> TrialSet
     )
     in_range = (starts_a[:, None] + np.arange(window)[None, :]) < tmax
 
+    from .utils import native
+
+    use_native = native.available()
+
     def gather(arr):
         arr = np.asarray(arr)
+        if use_native and arr.dtype == np.float32:
+            return native.gather_segments(arr, idxs_a, starts_a, window)
         out = arr[idxs_a[:, None], time_idx]
         if out.ndim > 2:
             out = out * in_range.reshape(in_range.shape + (1,) * (out.ndim - 2))

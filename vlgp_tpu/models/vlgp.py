@@ -99,18 +99,20 @@ def _weights(U, a, dist: Dist):
     return _psum(jnp.einsum("sty,zy->zst", U, a * a), dist.model)
 
 
-def _woodbury_inverse(G, wmz, iters: int = 16):
+def _woodbury_inverse(G, wmz, iters: int = 16, warm=None, warm_iters: int = 8):
     """X = (I + G'WG)^{-1} for every (latent, segment) pair.
 
     The shared core of the E-step: the Newton direction (core.py:89) and
     the VB marginal variance (core.py:110) both need this inverse, at the
     *same* weights — computed once per sweep and carried (see estep).
-    G: (Z, T, R); wmz: (Z, S, T) -> (Z, S, R, R).
+    ``warm`` is the previous sweep's inverse (weights drift slowly, so a
+    few Newton-Schulz refinements suffice; residual-checked fallback in
+    ops/spd.py).  G: (Z, T, R); wmz: (Z, S, T) -> (Z, S, R, R).
     """
     GtWG = jnp.einsum("ztr,zst,ztq->zsrq", G, wmz, G)
     # I + G'WG is SPD with eigenvalues >= 1; Newton-Schulz on TPU,
     # exact Cholesky elsewhere (ops/spd.py)
-    return inv_one_plus_psd(GtWG, iters=iters)
+    return inv_one_plus_psd(GtWG, iters=iters, warm=warm, warm_iters=warm_iters)
 
 
 def _woodbury_delta(G, s, muz, wmz, X):
@@ -186,7 +188,7 @@ def estep(
         r = _rates(eta, vz, a)
         U = jnp.where(params.poisson, r, 1.0 / params.noise)
         wz = _weights(U, a, dist) * maskz
-        X = _woodbury_inverse(G, wz)
+        X = _woodbury_inverse(G, wz, warm=X)
         if vb:
             vz = _marginal_variance_from_inv(G, X) * maskz
         return muz, wz, vz, dmuz, X

@@ -24,6 +24,7 @@ oracle tests; numerics there are bit-compatible with jnp.linalg).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -131,7 +132,31 @@ def _use_pallas(A) -> bool:
     )
 
 
-def inv_one_plus_psd(A, iters: int = 16, force: str | None = None):
+def _use_ns(A, force: str | None) -> bool:
+    if force == "xla":
+        return False
+    if force == "ns":
+        return True
+    return (
+        _HAS_PALLAS and A.dtype == jnp.float32 and jax.default_backend() == "tpu"
+    )
+
+
+def _ns_sweep(M, X, eye, iters: int):
+    """Newton-Schulz refinement X <- X (2I - M X), ``iters`` times."""
+
+    def ns(_, X):
+        MX = jnp.einsum("...rk,...kq->...rq", M, X,
+                        preferred_element_type=jnp.float32)
+        return jnp.einsum("...rk,...kq->...rq", X, 2.0 * eye - MX,
+                          preferred_element_type=jnp.float32)
+
+    return lax.fori_loop(0, iters, ns, X)
+
+
+def inv_one_plus_psd(A, iters: int = 16, force: str | None = None,
+                     warm: Optional[jnp.ndarray] = None,
+                     warm_iters: int = 8):
     """(I + A)^{-1} for PSD A (..., R, R), accelerator-friendly.
 
     On TPU this runs Newton-Schulz iterations — X <- X (2I - M X) with
@@ -143,28 +168,38 @@ def inv_one_plus_psd(A, iters: int = 16, force: str | None = None):
     the residual to Lhat-relative machine precision (quadratic: the
     residual norm is rho^(2^iters) with rho = (Lhat-1)/(Lhat+1)).
 
+    ``warm``: an approximate inverse of a *nearby* system (e.g. last E-step
+    sweep's inverse, core.py:85-110 rebuilds the same system with slowly
+    drifting weights).  Then only ``warm_iters`` refinements run, followed
+    by a residual check; if any matrix failed to converge the whole batch
+    falls back to the cold start (lax.cond, so the fallback costs nothing
+    when not taken).
+
     CPU / float64 use the exact Cholesky route (oracle tests).
     """
-    if force == "xla" or (force is None and not (
-        _HAS_PALLAS and A.dtype == jnp.float32 and jax.default_backend() == "tpu"
-    )):
+    if not _use_ns(A, force):
         R = A.shape[-1]
         return _spd_inverse_xla(A + jnp.eye(R, dtype=A.dtype))
 
     R = A.shape[-1]
     eye = jnp.eye(R, dtype=A.dtype)
     M = A + eye
-    lhat = jnp.max(jnp.sum(jnp.abs(M), axis=-1), axis=-1)  # (...,) row-sum bound
-    c = 2.0 / (1.0 + lhat)
-    X = c[..., None, None] * eye
 
-    def ns(_, X):
-        MX = jnp.einsum("...rk,...kq->...rq", M, X,
-                        preferred_element_type=jnp.float32)
-        return jnp.einsum("...rk,...kq->...rq", X, 2.0 * eye - MX,
-                          preferred_element_type=jnp.float32)
+    def cold():
+        lhat = jnp.max(jnp.sum(jnp.abs(M), axis=-1), axis=-1)
+        X0 = (2.0 / (1.0 + lhat))[..., None, None] * eye
+        return _ns_sweep(M, X0, eye, iters)
 
-    return lax.fori_loop(0, iters, ns, X)
+    if warm is None:
+        return cold()
+
+    X = _ns_sweep(M, warm, eye, warm_iters)
+    MX = jnp.einsum("...rk,...kq->...rq", M, X,
+                    preferred_element_type=jnp.float32)
+    resid = jnp.max(jnp.abs(MX - eye))
+    return lax.cond(
+        jnp.isfinite(resid) & (resid < 1e-2), lambda: X, cold
+    )
 
 
 def spd_inverse(A, force: str | None = None):

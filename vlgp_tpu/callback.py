@@ -17,15 +17,17 @@ __all__ = ["Saver", "show"]
 class Saver:
     """Periodically snapshot parameters during VEM (callback.py:10-23)."""
 
-    def __init__(self, path, saving_interval: float = 1800.0):
+    def __init__(self, path, saving_interval: float | None = None):
         self.path = path
         self.saving_interval = saving_interval
         self.last_saving_time = time.perf_counter()
 
     def save(self, data, params, config, force: bool = False):
         now = time.perf_counter()
-        interval = getattr(config, "saving_interval", self.saving_interval)
-        if force or now - self.last_saving_time > interval:
+        interval = self.saving_interval
+        if interval is None:
+            interval = getattr(config, "saving_interval", 1800.0)
+        if force or now - self.last_saving_time >= interval:
             save_params(params, self.path)
             self.last_saving_time = time.perf_counter()
 

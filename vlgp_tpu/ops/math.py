@@ -93,3 +93,19 @@ def add_diag(m, v):
     if v.ndim == 0:
         return m + v * eye
     return m + eye * v[..., None, :]
+
+
+def lexp(x, c: float = 0.0):
+    """Linearized exp: exp(x) below c, first-order expansion above
+    (``math.py:41-43``; vectorized — the reference version is scalar-only)."""
+    x = jnp.asarray(x)
+    return jnp.where(x < c, jnp.exp(jnp.minimum(x, c)), jnp.exp(c) * (1.0 - c + x))
+
+
+def clip(a, lbound, ubound=None):
+    """Symmetric/box clip (pure; the reference mutates in place,
+    util.py:446-454)."""
+    if ubound is None:
+        ubound = lbound
+        lbound = -lbound
+    return jnp.clip(a, lbound, ubound)

@@ -100,3 +100,41 @@ def load_params(path) -> Params:
     z = np.load(pathlib.Path(path))
     scalars = json.loads(bytes(z["_scalars"].tobytes()).decode())
     return Params(**{f: jnp.asarray(z[f]) for f in _PARAM_FIELDS}, **scalars)
+
+
+def save_checkpoint(path, params: Params, data: Optional[TrialSet] = None,
+                    step: int = 0):
+    """Orbax checkpoint of params (and optionally posterior state).
+
+    Training-time alternative to the npz snapshot — async-friendly,
+    multi-host-safe.  Restore with :func:`restore_checkpoint`.
+    """
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = {"params": params}
+        if data is not None:
+            tree["posterior"] = {"mu": data.mu, "w": data.w, "v": data.v}
+        ckptr.save(path / f"step_{step}", tree, force=True)
+    return path / f"step_{step}"
+
+
+def restore_checkpoint(path, params_like: Params,
+                       data_like: Optional[TrialSet] = None):
+    """Restore an orbax checkpoint saved by :func:`save_checkpoint`.
+
+    ``params_like``/``data_like`` provide the pytree structure/shapes.
+    Returns (params, posterior_dict_or_None).
+    """
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        target = {"params": params_like}
+        if data_like is not None:
+            target["posterior"] = {
+                "mu": data_like.mu, "w": data_like.w, "v": data_like.v
+            }
+        out = ckptr.restore(path, target)
+    return out["params"], out.get("posterior")

@@ -1,0 +1,74 @@
+"""ops/spd tests: Newton-Schulz inverse (forced on CPU), warm start +
+fallback, Pallas kernel in interpreter mode, XLA reference path."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vlgp_tpu.ops.spd import inv_one_plus_psd, spd_inverse, spd_solve
+
+
+def _psd(batch, R, scale=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    G = rng.normal(size=batch + (R, R // 2)).astype(np.float32)
+    return jnp.asarray(np.einsum("...rk,...qk->...rq", G, G) * scale)
+
+
+def test_ns_matches_exact():
+    A = _psd((6,), 32, 0.3)
+    X_ns = np.asarray(inv_one_plus_psd(A, iters=16, force="ns"))
+    X_ref = np.linalg.inv(np.asarray(A) + np.eye(32))
+    assert np.abs(X_ns - X_ref).max() < 1e-4
+
+
+def test_ns_handles_large_eigenvalues():
+    A = _psd((4,), 24, 50.0)  # lambda_max up to ~1e3
+    X_ns = np.asarray(inv_one_plus_psd(A, iters=20, force="ns"))
+    M = np.asarray(A) + np.eye(24)
+    resid = np.einsum("brk,bkq->brq", M, X_ns) - np.eye(24)
+    assert np.abs(resid).max() < 1e-3
+
+
+def test_ns_warm_start_refines():
+    A = _psd((5,), 16, 0.5, seed=1)
+    X_exact = jnp.asarray(np.linalg.inv(np.asarray(A) + np.eye(16)))
+    # perturb the system slightly; warm start from the old inverse
+    A2 = A * 1.02
+    X_warm = np.asarray(
+        inv_one_plus_psd(A2, iters=16, force="ns", warm=X_exact, warm_iters=4)
+    )
+    X_ref = np.linalg.inv(np.asarray(A2) + np.eye(16))
+    assert np.abs(X_warm - X_ref).max() < 1e-4
+
+
+def test_ns_warm_fallback_on_garbage():
+    """A useless warm start must trigger the cold fallback, not diverge."""
+    A = _psd((3,), 16, 0.5, seed=2)
+    garbage = jnp.ones_like(A) * 100.0
+    X = np.asarray(
+        inv_one_plus_psd(A, iters=16, force="ns", warm=garbage, warm_iters=3)
+    )
+    X_ref = np.linalg.inv(np.asarray(A) + np.eye(16))
+    assert np.isfinite(X).all()
+    assert np.abs(X - X_ref).max() < 1e-4
+
+
+def test_xla_path_exact():
+    A = _psd((4,), 20, 1.0, seed=3)
+    X = np.asarray(inv_one_plus_psd(A, force="xla"))
+    X_ref = np.linalg.inv(np.asarray(A) + np.eye(20))
+    assert np.abs(X - X_ref).max() < 1e-4
+
+
+def test_pallas_interpret_inverse():
+    A = _psd((5,), 40, 0.2, seed=4) + 0.5 * jnp.eye(40)
+    X = np.asarray(spd_inverse(A, force="interpret"))
+    assert np.abs(X - np.linalg.inv(np.asarray(A))).max() < 1e-3
+
+
+def test_spd_solve():
+    A = _psd((3,), 12, 0.5, seed=5) + jnp.eye(12)
+    rng = np.random.default_rng(6)
+    b = jnp.asarray(rng.normal(size=(3, 12)).astype(np.float32))
+    x = np.asarray(spd_solve(A, b))
+    ref = np.linalg.solve(np.asarray(A), np.asarray(b)[..., None])[..., 0]
+    assert np.abs(x - ref).max() < 1e-4

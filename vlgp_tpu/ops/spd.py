@@ -85,7 +85,7 @@ def _spd_inverse_kernel(a_ref, out_ref):
     out_ref[:] = jax.lax.dot_general(
         Linv, Linv,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=Linv.dtype,
     )
 
 
@@ -193,7 +193,7 @@ def inv_one_plus_psd(A, iters: int = 16, force: str | None = None,
     if warm is None:
         return cold()
 
-    X = _ns_sweep(M, warm, eye, warm_iters)
+    X = _ns_sweep(M, warm.astype(M.dtype), eye, warm_iters)
     MX = jnp.einsum("...rk,...kq->...rq", M, X,
                     preferred_element_type=jnp.float32)
     resid = jnp.max(jnp.abs(MX - eye))

@@ -51,6 +51,11 @@ class Config:
     # omega between searches)
     hyper_iters: int = 24
     hyper_fixed_point_iters: int = 3
+    # Newton-Schulz iteration counts for the TPU batched-inverse path
+    # (ops/spd.py): cold start, and warm-started refinements inside the
+    # E-step sweep loop
+    ns_iters: int = 16
+    ns_warm_iters: int = 8
     # checkpointing
     saving_interval: float = 1800.0
     path: Optional[str] = None

@@ -79,7 +79,8 @@ def _chol_inv(L):
     return jnp.einsum("...ki,...kj->...ij", inv_l, inv_l)
 
 
-def posterior_cov_stack(w, T: int, omega, sigmasq, gp_noise, dt, mask=None):
+def posterior_cov_stack(w, T: int, omega, sigmasq, gp_noise, dt, mask=None,
+                        ns_iters: int = 18):
     """Per-segment dense posterior covariances at the current kernel.
 
     S_i = (K^-1 + diag(w_i))^-1, batched over segments
@@ -97,7 +98,7 @@ def posterior_cov_stack(w, T: int, omega, sigmasq, gp_noise, dt, mask=None):
         w = w * mask
     sw = jnp.sqrt(w)  # (S, T)
     B = sw[:, :, None] * K[None] * sw[:, None, :]
-    X = inv_one_plus_psd(B, iters=18)
+    X = inv_one_plus_psd(B, iters=ns_iters)
     C = sw[:, :, None] * K[None]  # C[s,t,u] = sw[s,t] K[t,u]  (= W^1/2 K)
     return K[None] - jnp.einsum("sut,suv,svx->stx", C, X, C)
 
@@ -211,7 +212,7 @@ def hstep(
             # then one bounded search over the candidate kernel
             Sig = posterior_cov_stack(
                 w_l, T, jnp.exp(log_om), sigma_l**2, params.gp_noise,
-                params.dt, data.mask,
+                params.dt, data.mask, ns_iters=config.ns_iters + 2,
             )
             C = Mbar + _psum(jnp.sum(Sig, axis=0), dist.data)
 

@@ -188,14 +188,15 @@ def estep(
         r = _rates(eta, vz, a)
         U = jnp.where(params.poisson, r, 1.0 / params.noise)
         wz = _weights(U, a, dist) * maskz
-        X = _woodbury_inverse(G, wz, warm=X)
+        X = _woodbury_inverse(G, wz, iters=config.ns_iters, warm=X,
+                              warm_iters=config.ns_warm_iters)
         if vb:
             vz = _marginal_variance_from_inv(G, X) * maskz
         return muz, wz, vz, dmuz, X
 
     muz = _zmajor(data.mu)
     wz = _zmajor(data.w) * maskz
-    X0 = _woodbury_inverse(G, wz)
+    X0 = _woodbury_inverse(G, wz, iters=config.ns_iters)
     init = (muz, wz, _zmajor(data.v), _zmajor(data.dmu), X0)
     muz, wz, vz, dmuz, _ = lax.fori_loop(0, niter, sweep, init)
     return data.replace(
@@ -218,7 +219,7 @@ def update_v(data: TrialSet, params: Params, G, config: Config, dist: Dist = Dis
     if config.method != "VB":
         return data
     wz = _zmajor(data.w) * data.mask[None]
-    vz = _marginal_variance(G, wz, config.eps) * data.mask[None]
+    vz = _marginal_variance(G, wz, config.eps, iters=config.ns_iters) * data.mask[None]
     return data.replace(v=_zminor(vz))
 
 

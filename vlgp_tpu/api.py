@@ -134,13 +134,15 @@ def fit(
     dt: float = 1.0,
     callbacks: Sequence[Callable] = (),
     verbose: bool = False,
+    fused: bool = False,
     factor_model: Optional[FactorModel] = None,
     **config_kwargs,
 ) -> FitResult:
     """Fit the vLGP model (reference entry point api.py:18-76).
 
     trials: list of dicts with ``y`` (length, ydim); optional ``x``, ``mu``.
-    Unequal lengths are padded and masked.
+    Unequal lengths are padded and masked.  ``fused=True`` runs each EM
+    iteration as a single jitted graph (fastest on remote-attached devices).
     """
     config = default_config(**config_kwargs)
     data, params, fm = _prepare(
@@ -163,7 +165,8 @@ def fit(
 
     # VEM on segments (api.py:64)
     segments, params, G_seg, runtime = vem(
-        segments, params, G_seg, config, callbacks=callbacks, verbose=verbose
+        segments, params, G_seg, config, callbacks=callbacks, verbose=verbose,
+        fused=fused,
     )
 
     # write trained posterior back, refresh factors, final full inference

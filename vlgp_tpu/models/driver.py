@@ -82,11 +82,16 @@ def vem(
     config: Config,
     callbacks: Sequence[Callable] = (),
     verbose: bool = False,
+    fused: bool = False,
 ) -> Tuple[TrialSet, Params, jnp.ndarray, dict]:
     """Variational EM loop with per-phase timing (core.py:269-363).
 
-    Returns (data, params, G, runtime).
+    ``fused=True`` runs the whole EM iteration as one jitted graph (one
+    dispatch + one compile instead of four) — per-phase timings then all
+    land in ``em_elapsed``.  Returns (data, params, G, runtime).
     """
+    if fused:
+        return _vem_fused(data, params, G, config, callbacks, verbose)
     T = data.nbin
 
     @jax.jit
@@ -157,6 +162,29 @@ def vem(
         if _converged(norms, config.tol) and it + 1 >= config.min_iter:
             break
 
+    return data, params, G, runtime
+
+
+def _vem_fused(data, params, G, config, callbacks, verbose):
+    em = jax.jit(make_em_step(config))
+    runtime = {"it": 0, "e_elapsed": [], "m_elapsed": [], "h_elapsed": [],
+               "em_elapsed": []}
+    for it in range(config.max_iter):
+        runtime["it"] += 1
+        tic = time.perf_counter()
+        data, params, G, norms = em(data, params, G)
+        norms = {k: float(v) for k, v in norms.items()}
+        runtime["em_elapsed"].append(time.perf_counter() - tic)
+        if verbose:
+            print(f"Iteration {runtime['it']:4d}, "
+                  f"EM {runtime['em_elapsed'][-1]:.2f}s")
+        for cb in callbacks:
+            try:
+                cb(data, params, config)
+            except RuntimeError:
+                pass
+        if _converged(norms, config.tol) and it + 1 >= config.min_iter:
+            break
     return data, params, G, runtime
 
 

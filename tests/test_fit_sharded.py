@@ -1,0 +1,63 @@
+"""End-to-end multi-device fit on the virtual CPU mesh."""
+import numpy as np
+import jax
+import pytest
+
+import vlgp_tpu
+from vlgp_tpu.parallel.driver import fit_sharded
+from vlgp_tpu.parallel.mesh import make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _trials(seed=0, ntrial=6, length=130, ydim=16, zdim=2):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(zdim, ydim)) * 0.6
+    trials, zs = [], []
+    for _ in range(ntrial):
+        z = np.column_stack(
+            (np.sin(np.linspace(0, 7, length)), np.cos(np.linspace(0, 7, length)))
+        )
+        trials.append({"y": rng.poisson(np.exp(z @ a - 1.6)).astype(float)})
+        zs.append(z)
+    return trials, np.concatenate(zs)
+
+
+def _r2(mu, zt):
+    X = np.column_stack([mu, np.ones(len(mu))])
+    beta, *_ = np.linalg.lstsq(X, zt, rcond=None)
+    return 1 - np.sum((X @ beta - zt) ** 2) / np.sum((zt - zt.mean(0)) ** 2)
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+def test_fit_sharded_recovers(shape):
+    trials, zt = _trials()
+    mesh = make_mesh(shape)
+    res = fit_sharded(trials, 2, mesh=mesh, dtype="float64", max_iter=8,
+                      min_iter=2)
+    mu = np.concatenate([t["mu"] for t in res.trials])
+    assert _r2(mu, zt) > 0.7
+    assert np.isfinite(np.asarray(res.params.a)).all()
+
+
+def test_fit_sharded_matches_single_device():
+    trials, zt = _trials(seed=1)
+    mesh = make_mesh((8, 1))
+    res_m = fit_sharded(trials, 2, mesh=mesh, dtype="float64", max_iter=4,
+                        min_iter=1)
+    res_1 = vlgp_tpu.fit(trials, 2, dtype="float64", max_iter=4, min_iter=1)
+    # same pipeline, same seeds -> same parameters to solver precision
+    assert np.abs(np.asarray(res_m.params.a) - np.asarray(res_1.params.a)).max() < 1e-6
+    assert np.abs(np.asarray(res_m.params.omega) - np.asarray(res_1.params.omega)).max() < 1e-8
+    mu_m = np.concatenate([t["mu"] for t in res_m.trials])
+    mu_1 = np.concatenate([t["mu"] for t in res_1.trials])
+    assert np.abs(mu_m - mu_1).max() < 1e-6
+
+
+def test_fit_sharded_rejects_bad_model_axis():
+    trials, _ = _trials(ydim=15)  # 15 channels don't divide model=2
+    mesh = make_mesh((4, 2))
+    with pytest.raises(ValueError):
+        fit_sharded(trials, 2, mesh=mesh)

@@ -55,7 +55,7 @@ class Config:
     # (ops/spd.py): cold start, and warm-started refinements inside the
     # E-step sweep loop
     ns_iters: int = 16
-    ns_warm_iters: int = 8
+    ns_warm_iters: int = 5
     # checkpointing
     saving_interval: float = 1800.0
     path: Optional[str] = None

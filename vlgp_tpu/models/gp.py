@@ -201,7 +201,10 @@ def hstep(
     T = data.nbin
     lo = jnp.log(jnp.asarray(config.omega_bound[0], data.mu.dtype))
     hi = jnp.log(jnp.asarray(config.omega_bound[1], data.mu.dtype))
-    nseg_total = _psum(jnp.asarray(data.ntrial, data.mu.dtype), dist.data)
+    # count only segments with at least one valid bin — fully-masked rows
+    # are sharding padding and must not bias the log-determinant term
+    valid = jnp.max(data.mask, axis=1)  # (S,)
+    nseg_total = _psum(jnp.sum(valid), dist.data)
 
     def per_latent(mu_l, w_l, sigma_l, omega_l):
         # second moment of the posterior mean: local then psummed
@@ -214,7 +217,7 @@ def hstep(
                 w_l, T, jnp.exp(log_om), sigma_l**2, params.gp_noise,
                 params.dt, data.mask, ns_iters=config.ns_iters + 2,
             )
-            C = Mbar + _psum(jnp.sum(Sig, axis=0), dist.data)
+            C = Mbar + _psum(jnp.einsum("s,stx->tx", valid, Sig), dist.data)
 
             def obj(log_omega):
                 return -gp_elbo_stats(

@@ -1,0 +1,118 @@
+"""High-level multi-device fit: the api.fit pipeline over a device mesh.
+
+Mirrors :func:`vlgp_tpu.fit` (reference api.py:18-76) but runs the VEM loop
+and final inference through the shard_mapped SPMD step: segments sharded
+over the ``data`` axis, channels over ``model``.  Single-host multi-device
+out of the box; multi-host after ``jax.distributed.initialize()``.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..api import FitResult, _prepare
+from ..config import Config, default_config
+from ..data import cut_trials, scatter_segments
+from ..models.driver import _converged
+from ..models.gp import make_cholesky
+from ..models.vlgp import update_v, update_w
+from .mesh import make_mesh, pad_segments, replicate, shard_data
+from .spmd import sharded_em_step, sharded_infer
+
+__all__ = ["fit_sharded", "initialize_distributed"]
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host bring-up: thin wrapper over ``jax.distributed.initialize``
+    (coordinator address etc. via env or kwargs).  The reference has no
+    multi-process story at all (SURVEY §2)."""
+    jax.distributed.initialize(**kwargs)
+
+
+def fit_sharded(
+    trials: Sequence[dict],
+    n_factors: int,
+    mesh: Optional[Mesh] = None,
+    verbose: bool = False,
+    **kwargs,
+) -> FitResult:
+    """Fit vLGP with the EM step sharded over a ('data', 'model') mesh.
+
+    Channel count must divide the model-axis size.  Extra keyword args are
+    split between model parameters and :class:`Config` exactly as in
+    :func:`vlgp_tpu.fit`.
+    """
+    config_keys = set(Config.__dataclass_fields__)
+    config = default_config(**{k: v for k, v in kwargs.items() if k in config_keys})
+    prep_kwargs = {k: v for k, v in kwargs.items() if k not in config_keys}
+    data, params, fm = _prepare(trials, n_factors, config, **prep_kwargs)
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    if data.ydim % n_model:
+        raise ValueError(
+            f"ydim {data.ydim} must divide the model axis ({n_model})"
+        )
+
+    G_full = make_cholesky(data.nbin, params)
+    data = update_w(data, params, config)
+    data = update_v(data, params, G_full, config)
+
+    segments = cut_trials(data, config.window, seed=config.seed)
+    n_real_segments = segments.ntrial
+    segments = shard_data(pad_segments(segments, n_data), mesh)
+    G_seg = make_cholesky(segments.nbin, params)
+    params_r, G_seg = replicate((params, G_seg), mesh)
+
+    step = sharded_em_step(mesh, config, segments, params_r)
+    runtime = {"it": 0, "em_elapsed": []}
+    params = params_r
+    for it in range(config.max_iter):
+        runtime["it"] += 1
+        tic = time.perf_counter()
+        segments, params, G_seg, norms = step(segments, params, G_seg)
+        norms = {k: float(v) for k, v in norms.items()}
+        runtime["em_elapsed"].append(time.perf_counter() - tic)
+        if verbose:
+            print(f"Iteration {it + 1}, EM {runtime['em_elapsed'][-1]:.2f}s")
+        if _converged(norms, config.tol) and it + 1 >= config.min_iter:
+            break
+
+    # gather the trained posterior back into the full trials
+    seg_host = jax.tree.map(np.asarray, segments)
+    seg_trim = jax.tree.map(lambda x: x[:n_real_segments], seg_host)
+    data = scatter_segments(data, seg_trim)
+
+    # final full-length inference, data-parallel over trials
+    G_full = make_cholesky(data.nbin, params)
+    data = update_w(data, params, config)
+    data = update_v(data, params, G_full, config)
+    n_trials_real = data.ntrial
+    data_s = shard_data(pad_segments(data, n_data), mesh)
+    params_r, G_full_r = replicate((params, G_full), mesh)
+    inf = sharded_infer(mesh, config, data_s, params_r)
+    data_s = inf(data_s, params_r, G_full_r)
+    data = jax.tree.map(lambda x: np.asarray(x)[:n_trials_real], data_s)
+    from ..data import TrialSet
+
+    data = TrialSet(**{f: jnp.asarray(getattr(data, f))
+                       for f in ("y", "x", "mask", "mu", "w", "v", "dmu",
+                                 "trial_idx", "start", "lengths")})
+
+    return FitResult(
+        data=data,
+        params=jax.tree.map(jnp.asarray, params),
+        config=config,
+        factor_model=fm,
+        G=G_full,
+        runtime=runtime,
+        initial_params=None,
+        _trials_in=trials,
+    )

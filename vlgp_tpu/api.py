@@ -19,7 +19,7 @@ from .config import Config, Params, default_config, make_params
 from .data import TrialSet, cut_trials, pack_trials, scatter_segments, unpack_trials
 from .init import FactorModel, initialize
 from .models import gpfa
-from .models.driver import infer, make_em_step, vem
+from .models.driver import infer, vem
 from .models.gp import make_cholesky, posterior_cov
 from .models.vlgp import update_v, update_w
 

@@ -23,7 +23,7 @@ Deliberate fixes vs the reference (documented behavior edges, not features):
 """
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ out of the box; multi-host after ``jax.distributed.initialize()``.
 from __future__ import annotations
 
 import time
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 import jax

@@ -11,8 +11,8 @@ concatenations at core.py:166-171 and stacks at gp.py:77-78) become
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Tuple
+
+
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P

@@ -1,0 +1,114 @@
+"""End-to-end VEM trajectory parity against the reference.
+
+Injecting identical initial parameters/posterior and choosing
+window == trial length (one segment per trial, so the reference's random
+segment offsets are inert) makes the two implementations comparable
+iteration by iteration.  The H-step optimizers differ by design
+(fixed-posterior golden section vs the reference's inconsistent-gradient
+L-BFGS, see models/gp.py), so omega is compared loosely and the E/M state
+tightly with Hstep disabled.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from refshim import load_reference
+
+import vlgp_tpu
+from vlgp_tpu.config import default_config, make_params
+from vlgp_tpu.data import pack_trials
+from vlgp_tpu.models.driver import vem
+from vlgp_tpu.models.gp import make_cholesky
+from vlgp_tpu.models.vlgp import update_v, update_w
+
+ref = load_reference()
+pytestmark = pytest.mark.skipif(ref is None, reason="reference unavailable")
+
+T, Y, Z, N = 100, 12, 2, 4
+
+
+def _setup(seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(Z, Y)) * 0.5
+    b = np.full((1, Y), -1.5)
+    trials = []
+    for _ in range(N):
+        z = np.column_stack(
+            (np.sin(np.linspace(0, 6, T)), np.cos(np.linspace(0, 6, T)))
+        )
+        y = rng.poisson(np.exp(z @ a + b[0])).astype(float)
+        mu0 = rng.normal(size=(T, Z)) * 0.1
+        trials.append({"y": y, "mu": mu0})
+    return trials, a, b
+
+
+def _run_ref(trials, a, b, n_iter, hstep):
+    from vlgp.core import vem as ref_vem
+    from vlgp.gp import make_cholesky as ref_chol
+    from vlgp.core import update_v as ruv, update_w as ruw
+    from vlgp.preprocess import get_config
+
+    cfg = get_config(max_iter=n_iter, min_iter=n_iter, Hstep=hstep, window=T)
+    params = {
+        "zdim": Z, "ydim": Y, "xdim": 1, "rank": 50,
+        "a": a.copy(), "b": b.copy(), "noise": np.ones(Y),
+        "sigma": np.ones(Z), "omega": np.full(Z, 1e-2),
+        "gp_noise": 1e-4, "dt": 1,
+        "likelihood": np.asarray(["poisson"] * Y),
+        "da": np.zeros_like(a), "db": np.zeros_like(b),
+    }
+    rt = [
+        dict(y=t["y"].copy(), x=np.ones((T, 1, Y)), mu=t["mu"].copy(),
+             w=np.zeros((T, Z)), v=np.zeros((T, Z)), dmu=np.zeros((T, Z)))
+        for t in trials
+    ]
+    ref_chol(rt, params, cfg)
+    ruw(rt, params, cfg)
+    ruv(rt, params, cfg)
+    ref_vem(rt, params, cfg)
+    return rt, params
+
+
+def _run_ours(trials, a, b, n_iter, hstep):
+    config = default_config(dtype="float64", max_iter=n_iter, min_iter=n_iter,
+                            Hstep=hstep, window=T)
+    params = make_params(Y, Z, 1, "poisson", a=a, b=b,
+                         omega=np.full(Z, 1e-2), dtype=jnp.float64)
+    data = pack_trials(trials, Z, 1, dtype=np.float64)
+    G = make_cholesky(T, params)
+    data = update_w(data, params, config)
+    data = update_v(data, params, G, config)
+    return vem(data, params, G, config)
+
+
+@pytest.mark.parametrize("n_iter", [1, 3])
+def test_vem_trajectory_parity_fixed_hyper(n_iter):
+    trials, a, b = _setup()
+    rt, rparams = _run_ref(trials, a, b, n_iter, hstep=False)
+    data, params, _, _ = _run_ours(trials, a, b, n_iter, hstep=False)
+
+    assert np.abs(np.asarray(params.a) - rparams["a"]).max() < 1e-5
+    assert np.abs(np.asarray(params.b) - rparams["b"]).max() < 1e-5
+    for i in range(N):
+        err = np.abs(np.asarray(data.mu[i]) - rt[i]["mu"]).max()
+        assert err < 1e-4, (i, err)
+        errv = np.abs(np.asarray(data.v[i]) - rt[i]["v"]).max()
+        assert errv < 1e-5, (i, errv)
+
+
+def test_vem_with_hstep_stays_close():
+    """With the H-step on, optimizers differ by design; the posterior and
+    loading should still track each other closely."""
+    trials, a, b = _setup(seed=1)
+    rt, rparams = _run_ref(trials, a, b, 3, hstep=True)
+    data, params, _, _ = _run_ours(trials, a, b, 3, hstep=True)
+
+    mu_ref = np.concatenate([t["mu"] for t in rt])
+    mu_ours = np.concatenate([np.asarray(data.mu[i]) for i in range(N)])
+    # lstsq-align (identifiability) then compare
+    beta, *_ = np.linalg.lstsq(mu_ours, mu_ref, rcond=None)
+    rel = np.linalg.norm(mu_ours @ beta - mu_ref) / np.linalg.norm(mu_ref)
+    assert rel < 0.15, rel  # optimizers differ; trajectories stay within ~10%
+    # omega in the same ballpark (both start at 1e-2 and descend)
+    ratio = np.asarray(params.omega) / rparams["omega"]
+    assert (ratio > 0.2).all() and (ratio < 5.0).all(), ratio

@@ -18,6 +18,12 @@ factor-invert-multiply pipeline vectorized across the batch lane:
 Everything is masked full-tile arithmetic — no data-dependent control flow,
 no per-matrix loops, one HBM round-trip per block.
 
+The default TPU path is instead matmul-only Newton-Schulz iteration
+(:func:`inv_one_plus_psd`), in the spirit of the inverse-free variational-GP
+literature (e.g. "Inverse-Free Sparse Variational Gaussian Processes",
+"Probabilistic Unrolling" — see PAPERS.md): on accelerators, trading a
+factorization for a few extra matmuls wins by an order of magnitude.
+
 CPU / float64 fall back to cholesky + triangular_solve (used by the f64
 oracle tests; numerics there are bit-compatible with jnp.linalg).
 """

@@ -112,7 +112,12 @@ def orthomax(A, gamma: float = 1.0, normalize: bool = True, rtol: float = 1e-8,
 
 
 def promax(x, m: int = 4):
-    """Promax oblique rotation (util.py:56-85, R port)."""
+    """Promax oblique rotation (util.py:56-85, R port).
+
+    The reference port drops the power in ``x * abs(x)^(m-1)`` (it
+    computes ``x * abs(x) * (m-1)``, util.py:81) — fixed here to the R
+    semantics it cites.
+    """
     x = jnp.asarray(x)
     if x.shape[1] < 2:
         return x, jnp.eye(x.shape[1])

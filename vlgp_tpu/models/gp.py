@@ -206,13 +206,17 @@ def hstep(
     valid = jnp.max(data.mask, axis=1)  # (S,)
     nseg_total = _psum(jnp.sum(valid), dist.data)
 
+    # Aitken clamp margin: extrapolation may land exactly on a bound, which
+    # the at-bound rejection below would veto; keep it just inside.
+    margin = 2e-3 * (hi - lo)
+
     def per_latent(mu_l, w_l, sigma_l, omega_l):
         # second moment of the posterior mean: local then psummed
         Mbar = _psum(jnp.einsum("st,su->tu", mu_l, mu_l), dist.data)
 
-        def refine(_, log_om):
-            # posterior covariance fixed at the running hyperparameters,
-            # then one bounded search over the candidate kernel
+        def F(log_om):
+            # one fixed-point refinement: posterior covariance at the
+            # running omega, then a bounded search over the candidate kernel
             Sig = posterior_cov_stack(
                 w_l, T, jnp.exp(log_om), sigma_l**2, params.gp_noise,
                 params.dt, data.mask, ns_iters=config.ns_iters + 2,
@@ -227,8 +231,25 @@ def hstep(
 
             return _golden_min(obj, lo, hi, config.hyper_iters)
 
-        return lax.fori_loop(0, config.hyper_fixed_point_iters, refine,
-                             jnp.log(omega_l))
+        # The fixed-point map log_om -> F(log_om) contracts slowly when the
+        # posterior was smoothed at the current omega (ratio near 1, so
+        # plain iteration crawls — the reference's L-BFGS shows the same
+        # near-stationary crawl, core trajectory in gp.py:65-97).  Aitken /
+        # Steffensen extrapolation jumps to the self-consistent omega:
+        x0 = jnp.log(omega_l)
+        x1 = F(x0)
+        x2 = F(x1)
+        d1 = x1 - x0
+        d2 = x2 - x1
+        denom = d2 - d1
+        safe = jnp.abs(denom) > 1e-12
+        aitken = x2 - jnp.where(safe, d2 * d2 / jnp.where(safe, denom, 1.0), 0.0)
+        # accept only a genuine contraction (same direction, shrinking)
+        contracting = (d1 * d2 > 0) & (jnp.abs(d2) < jnp.abs(d1))
+        x_star = jnp.where(contracting, aitken, x2)
+        x_star = jnp.clip(x_star, lo + margin, hi - margin)
+        # polish with one more refinement at the extrapolated point
+        return F(x_star)
 
     mu_t = jnp.moveaxis(data.mu, -1, 0)  # (Z, S, T)
     w_t = jnp.moveaxis(data.w, -1, 0)

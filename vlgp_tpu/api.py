@@ -99,6 +99,10 @@ def _prepare(
         if b.shape[0] != xdim:  # allow (ydim,) bias vectors
             b = jnp.zeros((xdim, data.ydim), b.dtype).at[0].set(b.reshape(-1))
 
+    if omega is None and config.omega_init == "staggered" and n_factors > 1:
+        lo, hi = config.omega_bound
+        omega = np.logspace(np.log10(lo * 3), np.log10(hi / 3), n_factors)
+
     params = make_params(
         data.ydim,
         n_factors,

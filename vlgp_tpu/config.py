@@ -56,6 +56,12 @@ class Config:
     # E-step sweep loop
     ns_iters: int = 16
     ns_warm_iters: int = 5
+    # omega initialization when not user-supplied: "staggered" spreads the
+    # latents log-uniformly across the omega box (latents are exchangeable,
+    # so this breaks the symmetry that makes the coordinate-ascent H-step
+    # crawl when every latent starts at the same bound); "bound" reproduces
+    # the reference's all-at-upper-bound init (preprocess.py:74)
+    omega_init: str = "staggered"
     # checkpointing
     saving_interval: float = 1800.0
     path: Optional[str] = None

@@ -115,3 +115,26 @@ def test_cli_fit_and_transform(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     z = np.load(tmp_path / "mu.npz")
     assert z["mu0"].shape == (60, 2)
+
+
+def test_leave_one_neuron_out_beats_latent_free_baseline():
+    from vlgp_tpu.model_selection import leave_one_neuron_out
+
+    trials = _make_trials(ntrial=5, length=120, ydim=12)
+    res = vlgp_tpu.fit(trials, 2, dtype="float64", max_iter=8)
+    neurons = [0, 3, 7]
+    scores = leave_one_neuron_out(res, neurons=neurons)
+    assert set(scores) == set(neurons)
+    assert all(np.isfinite(v) for v in scores.values())
+    # latent-free baseline: predict each neuron from its bias alone
+    m = np.asarray(res.data.mask)
+    nvalid = m.sum()
+    b = np.asarray(res.params.b)
+    x = np.asarray(res.data.x)
+    y = np.asarray(res.data.y)
+    wins = 0
+    for n in neurons:
+        eta0 = np.einsum("stx,x->st", x[:, :, :, n], b[:, n])
+        ll0 = float(((y[:, :, n] * eta0 - np.exp(eta0)) * m).sum() / nvalid)
+        wins += scores[n] > ll0
+    assert wins >= 2, (scores, wins)

@@ -16,7 +16,7 @@ from .data import cut_trials, pack_trials
 from .init import initialize
 from .models import gpfa
 
-__all__ = ["speckled_cv", "gmap_speckled_cv", "elementwise_error"]
+__all__ = ["speckled_cv", "gmap_speckled_cv", "elementwise_error", "leave_one_neuron_out"]
 
 
 def elementwise_error(yhat, y):
@@ -77,3 +77,73 @@ def gmap_speckled_cv(
         training_errors.append(tr)
         test_errors.append(te)
     return training_errors, test_errors
+
+
+def leave_one_neuron_out(
+    result,
+    neurons: Sequence[int] | None = None,
+):
+    """Leave-one-neuron-out predictive score for a fitted model.
+
+    For each held-out channel n: infer latents from the *other* channels
+    under the fitted parameters, then score channel n's observations under
+    the model prediction (Poisson log-likelihood up to the y! constant, or
+    Gaussian negative squared error).  This is the co-smoothing metric the
+    BASELINE configs call for; the reference has no implementation.
+
+    result: :class:`~vlgp_tpu.api.FitResult`.
+    Returns dict {neuron: mean predictive log-likelihood per bin}.
+    """
+    import jax.numpy as jnp
+
+    from .config import make_params
+    from .models.driver import infer
+    from .models.gp import make_cholesky
+    from .models.vlgp import update_v, update_w
+
+    data, params, config = result.data, result.params, result.config
+    ydim = params.ydim
+    if neurons is None:
+        neurons = range(ydim)
+
+    scores = {}
+    for n in neurons:
+        keep = jnp.asarray([i for i in range(ydim) if i != n])
+        params_n = make_params(
+            ydim - 1, params.zdim, params.xdim,
+            ["poisson" if bool(params.poisson[i]) else "gaussian"
+             for i in range(ydim) if i != n],
+            a=params.a[:, keep], b=params.b[:, keep],
+            noise=params.noise[keep], sigma=params.sigma, omega=params.omega,
+            rank=params.rank, gp_noise=params.gp_noise, dt=params.dt,
+            dtype=params.a.dtype,
+        )
+        d_n = data.replace(
+            y=data.y[:, :, keep], x=data.x[:, :, :, keep],
+            mu=jnp.zeros_like(data.mu), w=jnp.zeros_like(data.w),
+            v=jnp.zeros_like(data.v), dmu=jnp.zeros_like(data.dmu),
+        )
+        G = make_cholesky(d_n.nbin, params_n)
+        d_n = update_w(d_n, params_n, config)
+        d_n = update_v(d_n, params_n, G, config)
+        d_n = infer(d_n, params_n, G, config)
+
+        # predict the held-out channel from the inferred latents
+        eta = (
+            jnp.einsum("stz,z->st", d_n.mu, params.a[:, n])
+            + jnp.einsum("stx,x->st", data.x[:, :, :, n], params.b[:, n])
+        )
+        m = data.mask
+        nvalid = jnp.maximum(jnp.sum(m), 1.0)
+        y_n = data.y[:, :, n]
+        if bool(params.poisson[n]):
+            ll = jnp.sum((y_n * eta - jnp.exp(eta)) * m) / nvalid
+        else:
+            quad = 0.5 * jnp.einsum("stz,z->st", d_n.v, params.a[:, n] ** 2)
+            resid = (y_n - eta) * m
+            ll = -0.5 * jnp.sum(
+                (resid**2 / params.noise[n]
+                 + jnp.log(2 * jnp.pi * params.noise[n]) * m)
+            ) / nvalid - jnp.sum(quad * m) / nvalid / params.noise[n]
+        scores[int(n)] = float(ll)
+    return scores

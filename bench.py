@@ -53,7 +53,7 @@ def bench_ours(trials, a, iters=10):
     from vlgp_tpu.config import default_config, make_params
     from vlgp_tpu.data import cut_trials, pack_trials
     from vlgp_tpu.models.driver import make_em_step
-    from vlgp_tpu.models.gp import make_cholesky
+    from vlgp_tpu.models.gp import effective_rank, make_cholesky
     from vlgp_tpu.models.vlgp import update_w
 
     config = default_config()
@@ -63,7 +63,9 @@ def bench_ours(trials, a, iters=10):
     )
     data = pack_trials(trials, ZDIM, 1)
     seg = cut_trials(data, config.window, seed=0)
-    G = make_cholesky(seg.nbin, params)
+    seg_rank = min(params.rank,
+                   effective_rank(seg.nbin, config.omega_bound[1], 1.0))
+    G = make_cholesky(seg.nbin, params, rank=seg_rank)
     seg = update_w(seg, params, config)
     em = jax.jit(make_em_step(config))
 

@@ -20,7 +20,7 @@ from .data import TrialSet, cut_trials, pack_trials, scatter_segments, unpack_tr
 from .init import FactorModel, initialize
 from .models import gpfa
 from .models.driver import infer, vem
-from .models.gp import make_cholesky, posterior_cov
+from .models.gp import effective_rank, make_cholesky, posterior_cov
 from .models.vlgp import update_v, update_w
 
 __all__ = ["fit", "transform", "sample_posterior", "fastfit", "map2vi", "resume", "FitResult"]
@@ -161,9 +161,14 @@ def fit(
     data = update_w(data, params, config)
     data = update_v(data, params, G_full, config)
 
-    # segmentation for training (api.py:56-58)
+    # segmentation for training (api.py:56-58); segment factors trimmed to
+    # the omega box's effective rank (numerically exact, see gp.effective_rank)
     segments = cut_trials(data, config.window, seed=config.seed)
-    G_seg = make_cholesky(segments.nbin, params)
+    seg_rank = min(
+        params.rank,
+        effective_rank(segments.nbin, config.omega_bound[1], dt),
+    )
+    G_seg = make_cholesky(segments.nbin, params, rank=seg_rank)
 
     initial_params = params
 

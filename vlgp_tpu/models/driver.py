@@ -53,7 +53,7 @@ def make_em_step(config: Config, dist: Dist = Dist()) -> Callable:
         params = mstep(data, params, config, dist=dist)
         if config.Hstep:
             params = hstep(data, params, config, dist)
-            G = make_cholesky(data.nbin, params)
+            G = make_cholesky(data.nbin, params, rank=G.shape[-1])
         post = em_norms(data, params, dist)
         norms = dict(
             mu=pre["mu"], a=pre["a"], b=pre["b"],
@@ -111,7 +111,7 @@ def vem(
     def phase_h(d, p, g):
         if config.Hstep:
             p = hstep(d, p, config)
-            g = make_cholesky(T, p)
+            g = make_cholesky(T, p, rank=g.shape[-1])
         return p, g
 
     @jax.jit

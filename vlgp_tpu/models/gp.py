@@ -55,20 +55,42 @@ def se_kernel_grid(T: int, omega, sigmasq=1.0, gp_noise=1e-4, dt: float = 1.0,
     return sigmasq * jnp.exp(-omega * dsq) + gp_noise * jnp.eye(T, dtype=dtype)
 
 
-def make_cholesky(T: int, params: Params) -> jnp.ndarray:
+def make_cholesky(T: int, params: Params, rank: Optional[int] = None) -> jnp.ndarray:
     """Low-rank prior factors for all latents: (zdim, T, rank).
 
     K_l ~= (sigma_l G_l)(sigma_l G_l)'.  Replaces the per-length factor
     cache ``params['cholesky']`` (gp.py:150-162): stationarity on a regular
     grid means a single padded-length factor serves every masked trial.
+    ``rank`` overrides ``params.rank`` (e.g. the trimmed segment rank from
+    :func:`effective_rank` — every Woodbury cost scales as rank^2).
     """
-    rank = min(params.rank, T)
+    rank = params.rank if rank is None else rank
+    rank = min(rank, T)
     G = ichol_gauss_batch(T, params.omega, rank, params.dt)
     G = G * params.sigma[:, None, None]
-    if rank < params.rank:  # keep a static (zdim, T, params.rank) shape
-        pad = jnp.zeros(G.shape[:2] + (params.rank - rank,), G.dtype)
-        G = jnp.concatenate([G, pad], axis=-1)
     return G.astype(params.a.dtype)
+
+
+def effective_rank(T: int, omega_hi: float, dt: float = 1.0,
+                   margin: int = 4, tol: float = 1e-7) -> int:
+    """Numerically-exact truncation rank for window-T segment factors.
+
+    The pivoted incomplete Cholesky of the SE kernel zeroes columns beyond
+    the kernel's effective rank; the sharpest kernel in the omega search box
+    (omega_hi) has the largest effective rank, so factors can be trimmed to
+    it for every candidate omega with machine-precision reconstruction
+    (e.g. window 50, omega_hi 5e-2: rank 39, error ~1e-10).  Rounded up to
+    a lane-friendly multiple of 8.
+    """
+    from ..ops.ichol import ichol_gauss
+
+    G = ichol_gauss(T, jnp.asarray(omega_hi, jnp.float32), min(T, 64), dt)
+    import numpy as _np
+
+    colmax = _np.abs(_np.asarray(G)).max(axis=0)
+    nz = int((colmax > tol).sum())
+    r = min(T, -(-(nz + margin) // 8) * 8)
+    return max(8, r)
 
 
 def _chol_inv(L):

@@ -68,7 +68,11 @@ def fit_sharded(
     segments = cut_trials(data, config.window, seed=config.seed)
     n_real_segments = segments.ntrial
     segments = shard_data(pad_segments(segments, n_data), mesh)
-    G_seg = make_cholesky(segments.nbin, params)
+    from ..models.gp import effective_rank
+
+    seg_rank = min(params.rank,
+                   effective_rank(segments.nbin, config.omega_bound[1], params.dt))
+    G_seg = make_cholesky(segments.nbin, params, rank=seg_rank)
     params_r, G_seg = replicate((params, G_seg), mesh)
 
     step = sharded_em_step(mesh, config, segments, params_r)

@@ -55,7 +55,7 @@ class Config:
     # (ops/spd.py): cold start, and warm-started refinements inside the
     # E-step sweep loop
     ns_iters: int = 16
-    ns_warm_iters: int = 5
+    ns_warm_iters: int = 4
     # omega initialization when not user-supplied: "staggered" spreads the
     # latents log-uniformly across the omega box (latents are exchangeable,
     # so this breaks the symmetry that makes the coordinate-ascent H-step

@@ -32,8 +32,7 @@ def _problem(seed=0, ntrial=8, length=100, ydim=16, zdim=2):
         )
         y = rng.poisson(np.exp(z @ a - 1.5)).astype(float)
         trials.append({"y": y, "mu": rng.normal(size=(length, zdim)) * 0.1})
-    config = default_config(dtype="float64", Eniter=3, Mniter=3, hyper_iters=10,
-                            hyper_fixed_point_iters=1)
+    config = default_config(dtype="float64", Eniter=3, Mniter=3, hyper_iters=10)
     params = make_params(ydim, zdim, 1, "poisson", a=a,
                          b=np.full((1, ydim), -1.5), omega=np.full(zdim, 1e-2),
                          dtype=jnp.float64)

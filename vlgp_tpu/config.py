@@ -47,10 +47,9 @@ class Config:
     # trial segmentation window (util.py:457-499)
     window: int = 50
     # H-step optimizer: fixed-iteration golden section on log-omega,
-    # iterated as a short fixed point (posterior cov rebuilt at the running
-    # omega between searches)
+    # run as an Aitken-extrapolated fixed point (three searches with the
+    # posterior covariance rebuilt at the running omega between them)
     hyper_iters: int = 24
-    hyper_fixed_point_iters: int = 3
     # Newton-Schulz iteration counts for the TPU batched-inverse path
     # (ops/spd.py): cold start, and warm-started refinements inside the
     # E-step sweep loop

@@ -81,3 +81,15 @@ def test_subspace_angles():
     assert float(subspace(jnp.asarray(q), jnp.asarray(q))) < 1e-4
     q2 = np.linalg.qr(rng.normal(size=(50, 3)))[0]
     assert float(subspace(jnp.asarray(q), jnp.asarray(q2))) > 10.0
+
+
+def test_effective_rank_truncation_is_exact():
+    from vlgp_tpu.models.gp import effective_rank
+
+    for T, omega in [(50, 5e-2), (50, 5e-4), (100, 5e-2)]:
+        r = effective_rank(T, omega)
+        G = np.asarray(ichol_gauss(T, jnp.float64(omega), min(T, r)))
+        K = dense_se(T, omega)
+        assert np.abs(K - G @ G.T).max() < 1e-5, (T, omega, r)
+    # saturated probe falls back to full rank
+    assert effective_rank(500, 5e-2) == 500

@@ -84,11 +84,14 @@ def effective_rank(T: int, omega_hi: float, dt: float = 1.0,
     """
     from ..ops.ichol import ichol_gauss
 
-    G = ichol_gauss(T, jnp.asarray(omega_hi, jnp.float32), min(T, 64), dt)
+    probe = min(T, 128)
+    G = ichol_gauss(T, jnp.asarray(omega_hi, jnp.float32), probe, dt)
     import numpy as _np
 
     colmax = _np.abs(_np.asarray(G)).max(axis=0)
     nz = int((colmax > tol).sum())
+    if nz >= probe:  # probe saturated: no safe truncation, keep full rank
+        return T
     r = min(T, -(-(nz + margin) // 8) * 8)
     return max(8, r)
 

@@ -106,3 +106,40 @@ def test_eniter_zero_is_noop():
     G = make_cholesky(data.nbin, params)
     out = estep(data, params, G, config)
     assert out is data
+
+
+def test_history_filter_fit():
+    """xdim > 1: spike-history regressors, reference-style user-provided x
+    (the reference also leaves history design to the user — initialize
+    only fills x with ones, preprocess.py:44)."""
+    import jax
+    from vlgp_tpu.simulation import spike
+    from vlgp_tpu.utils.design import history
+
+    rng = np.random.default_rng(0)
+    zdim, ydim, length, ntrial, lag = 2, 10, 150, 4, 2
+    a = rng.normal(size=(zdim, ydim)) * 0.6
+    b_true = np.zeros((1 + lag, ydim))
+    b_true[0] = -1.5
+    b_true[1] = -1.0  # refractory effect
+
+    trials, zs = [], []
+    key = jax.random.PRNGKey(0)
+    for i in range(ntrial):
+        z = np.column_stack(
+            (np.sin(np.linspace(0, 7, length)), np.cos(np.linspace(0, 7, length)))
+        )
+        key, sub = jax.random.split(key)
+        y, h, _ = spike(jnp.asarray(z), jnp.asarray(a), jnp.asarray(b_true), sub)
+        y = np.asarray(y[0])
+        # design (ydim, ntime, 1+lag) -> (ntime, 1+lag, ydim)
+        x = np.transpose(np.asarray(history(jnp.asarray(y), lag)), (1, 2, 0))
+        trials.append({"y": y, "x": x})
+        zs.append(z)
+
+    res = vlgp_tpu.fit(trials, zdim, history=lag, dtype="float64", max_iter=8)
+    assert res.params.b.shape == (1 + lag, ydim)
+    mu = np.concatenate([t["mu"] for t in res.trials])
+    assert _r2(mu, np.concatenate(zs)) > 0.6
+    # learned immediate-history coefficient should be negative (refractory)
+    assert np.asarray(res.params.b)[1].mean() < 0

@@ -71,8 +71,15 @@ def _prepare(
     dt: float = 1.0,
     factor_model: Optional[FactorModel] = None,
 ) -> Tuple[TrialSet, Params, Optional[FactorModel]]:
-    """Pack trials, initialize parameters and posterior (api.py:39-54)."""
-    xdim = max(history, 1)
+    """Pack trials, initialize parameters and posterior (api.py:39-54).
+
+    xdim = 1 + history: one constant column plus the history lags (the
+    reference's ``max(history, 1)`` at preprocess.py:60 is off by one
+    against its own ``util.history`` design builder, which emits 1 + lag
+    columns — the mismatch goes unnoticed there because nothing fills the
+    history design).
+    """
+    xdim = history + 1
     np_dtype = np.dtype(config.dtype)
     data = pack_trials(trials, n_factors, xdim, dtype=np_dtype)
 

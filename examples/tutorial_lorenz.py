@@ -8,6 +8,10 @@ posterior mean to the true trajectory.
 Run: python examples/tutorial_lorenz.py  [--trials 10 --bins 500 --neurons 50]
 """
 import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import time
 
 import numpy as np

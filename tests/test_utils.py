@@ -138,3 +138,28 @@ def test_base_vlgp_class():
     out = m.fit(trials)
     assert m.isfitted and m.weight.shape == (2, 10)
     m.transform(trials)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from vlgp_tpu.config import make_params
+    from vlgp_tpu.utils.io import restore_checkpoint, save_checkpoint
+
+    p = make_params(6, 2, 1, "poisson", a=np.ones((2, 6)))
+    out = save_checkpoint(tmp_path / "ck", p, step=3)
+    p2, post = restore_checkpoint(out, p)
+    assert np.allclose(np.asarray(p2.a), 1.0)
+    assert post is None
+
+
+def test_runtime_log_and_phase_timer():
+    import time
+
+    from vlgp_tpu.utils.profiling import RuntimeLog
+
+    log = RuntimeLog()
+    log.tick()
+    with log.phase("e_elapsed"):
+        time.sleep(0.01)
+    s = log.summary()
+    assert s["iterations"] == 1
+    assert s["e_elapsed"]["total"] >= 0.01

@@ -151,3 +151,20 @@ def test_callbacks_fire(data):
     vlgp_tpu.fit(trials, 2, max_iter=2, min_iter=1,
                  callbacks=[lambda d, p, c: seen.append(1)])
     assert len(seen) == 2
+
+
+def test_sample_posterior_lowrank_matches_dense(fitted):
+    """The O(T r) sampler and the dense Woodbury sampler draw from the same
+    distribution: compare per-bin means/stds over many samples."""
+    k = jax.random.PRNGKey(3)
+    s_lr = np.asarray(vlgp_tpu.sample_posterior(fitted, 0, 400, key=k))
+    s_d = np.asarray(vlgp_tpu.sample_posterior(fitted, 0, 400, key=k,
+                                               method="dense"))
+    assert s_lr.shape == s_d.shape
+    # same posterior mean
+    assert np.abs(s_lr.mean(0) - s_d.mean(0)).max() < 0.15
+    # same marginal spread
+    assert np.abs(s_lr.std(0) - s_d.std(0)).max() < 0.1
+    # and the marginal std matches the VB variance v
+    v = np.sqrt(np.asarray(fitted.data.v[0]))
+    assert np.abs(s_lr.std(0) - v).mean() < 0.05

@@ -242,32 +242,51 @@ def transform(
 
 
 def sample_posterior(
-    result: FitResult, trial: int, nsamples: int, key=None, reg: float = 1e-6
+    result: FitResult, trial: int, nsamples: int, key=None, reg: float = 1e-6,
+    method: str = "lowrank",
 ):
     """Draw joint posterior samples for one trial (api.py:142-168).
 
-    Returns (nsamples, length, n_factors).  The reference inverts the dense
-    prior twice per factor (api.py:165, documented as slow); here the
-    posterior covariance comes from one Woodbury solve on the low-rank
-    factor (util.py:541-547) and sampling is a batched Cholesky transform.
+    Returns (nsamples, length, n_factors).
+
+    method="lowrank" (default): under the low-rank prior K = GG', the
+    posterior covariance is exactly S = G (I + G'WG)^{-1} G', so a sample
+    is mu + G chol((I+G'WG)^{-1}) eps — O(T r) per sample instead of the
+    reference's two dense T x T inversions per factor (api.py:165,
+    self-documented as slow).  method="dense" reproduces the dense
+    Woodbury construction (util.py:541-547) for cross-checking.
     """
     if key is None:
         key = jax.random.PRNGKey(result.config.seed)
     L = int(result.data.lengths[trial])
     mu = result.data.mu[trial]  # (T, z)
     w = result.data.w[trial]
+    mask = result.data.mask[trial]
     G = result.G  # (z, T, r)
     zdim = mu.shape[-1]
 
-    def one_factor(G_l, w_l, mu_l, k):
-        S = posterior_cov(w_l, G_l, reg)
+    if method == "lowrank":
+        def one_factor(G_l, w_l, mu_l, k):
+            R = G_l.shape[-1]
+            A = jnp.einsum("tr,t,tq->rq", G_l, w_l * mask, G_l)
+            X = jnp.linalg.inv(jnp.eye(R, dtype=G_l.dtype) * (1.0 + reg) + A)
+            C = jnp.linalg.cholesky(X + reg * jnp.eye(R, dtype=X.dtype))
+            eps = jax.random.normal(k, (nsamples, R), dtype=G_l.dtype)
+            return mu_l[None, :] + (eps @ C.T) @ G_l.T
+
+        keys = jax.random.split(key, zdim)
+        samples = jax.vmap(one_factor, in_axes=(0, 1, 1, 0))(G, w, mu, keys)
+        return jnp.transpose(samples, (1, 2, 0))[:, :L, :]
+
+    def one_factor_dense(G_l, w_l, mu_l, k):
+        S = posterior_cov(w_l * mask, G_l, reg)
         S = S + reg * jnp.eye(S.shape[0], dtype=S.dtype)
         C = jnp.linalg.cholesky(S)
         eps = jax.random.normal(k, (nsamples, S.shape[0]), dtype=S.dtype)
         return mu_l[None, :] + eps @ C.T
 
     keys = jax.random.split(key, zdim)
-    samples = jax.vmap(one_factor, in_axes=(0, 1, 1, 0))(G, w, mu, keys)
+    samples = jax.vmap(one_factor_dense, in_axes=(0, 1, 1, 0))(G, w, mu, keys)
     return jnp.transpose(samples, (1, 2, 0))[:, :L, :]
 
 

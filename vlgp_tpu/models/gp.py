@@ -123,7 +123,9 @@ def posterior_cov_stack(w, T: int, omega, sigmasq, gp_noise, dt, mask=None,
         w = w * mask
     sw = jnp.sqrt(w)  # (S, T)
     B = sw[:, :, None] * K[None] * sw[:, None, :]
-    X = inv_one_plus_psd(B, iters=ns_iters)
+    # disallow the packed Pallas kernel: this runs under vmap (per-latent
+    # H-step) where pallas_call batching rules add no benefit
+    X = inv_one_plus_psd(B, iters=ns_iters, allow_packed=False)
     C = sw[:, :, None] * K[None]  # C[s,t,u] = sw[s,t] K[t,u]  (= W^1/2 K)
     return K[None] - jnp.einsum("sut,suv,svx->stx", C, X, C)
 

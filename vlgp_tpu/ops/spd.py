@@ -337,7 +337,7 @@ def _make_ns_packed_kernel(R: int, gpt: int, tiles: int, iters: int,
 
 def _packed_geometry(B: int, R: int):
     gpt = max(1, 128 // R)
-    tiles = 8  # (8, 128, 128) f32 scratch = 0.5 MB per buffer
+    tiles = 16  # (16, 128, 128) f32 scratch = 1 MB per buffer
     per_block = tiles * gpt
     BP = -(-B // per_block) * per_block
     return gpt, tiles, per_block, BP

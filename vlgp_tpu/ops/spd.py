@@ -8,21 +8,22 @@ The vLGP E-step and H-step need tens of thousands of independent
 dominates the whole fit (measured ~125 ms per E-step sweep at batch 10^4,
 rank 50 — ~80x the cost of all surrounding einsums).
 
-This kernel keeps a block of matrices resident in VMEM and runs the whole
-factor-invert-multiply pipeline vectorized across the batch lane:
-
-  1. right-looking Cholesky, one masked rank-1 update per column;
-  2. forward substitution building L^-1 row by row;
-  3. A^-1 = (L^-1)' (L^-1) on the MXU.
-
-Everything is masked full-tile arithmetic — no data-dependent control flow,
-no per-matrix loops, one HBM round-trip per block.
-
-The default TPU path is instead matmul-only Newton-Schulz iteration
+The production TPU path is matmul-only Newton-Schulz iteration
 (:func:`inv_one_plus_psd`), in the spirit of the inverse-free variational-GP
 literature (e.g. "Inverse-Free Sparse Variational Gaussian Processes",
 "Probabilistic Unrolling" — see PAPERS.md): on accelerators, trading a
-factorization for a few extra matmuls wins by an order of magnitude.
+factorization for a few extra matmuls wins by an order of magnitude.  It
+runs as a Pallas kernel (``_ns_packed_pallas``) that packs 128 // R
+matrices into the diagonal of each 128x128 MXU tile — products of
+block-diagonal matrices stay block-diagonal, so this is exact — and keeps
+every NS iteration VMEM-resident with a single HBM round-trip per block.
+A convergence residual is computed in-kernel so warm starts can fall back
+to a cold start without an extra (slow) XLA batched matmul.
+
+An older experiment, a VMEM-resident batched Cholesky kernel
+(``_spd_inverse_kernel``: masked rank-1 updates per column, forward
+substitution for L^-1, Gram product on the MXU), is kept for reference;
+it is correct but grid-latency bound at the vLGP working set.
 
 CPU / float64 fall back to cholesky + triangular_solve (used by the f64
 oracle tests; numerics there are bit-compatible with jnp.linalg).

@@ -198,16 +198,24 @@ def gp_elbo_stats(log_omega, C, nseg, T: int, sigmasq, gp_noise, dt):
 
     Exactly equal to :func:`gp_elbo` summed over segments (trace
     linearity), but O(T^3) per candidate instead of O(nseg * T^3) — this is
-    what makes the golden-section H-step cheap on accelerators.
+    what makes the bounded H-step search cheap on accelerators.
+    ``log_omega`` may carry leading batch dims (candidates evaluated as one
+    batched Cholesky).
     """
-    K = se_kernel_grid(T, jnp.exp(log_omega), sigmasq, gp_noise, dt, dtype=C.dtype)
+    log_omega = jnp.asarray(log_omega)
+    om = jnp.exp(log_omega).reshape(log_omega.shape + (1, 1))
+    t = jnp.arange(T, dtype=C.dtype) * dt
+    dsq = (t[:, None] - t[None, :]) ** 2
+    K = sigmasq * jnp.exp(-om * dsq) + gp_noise * jnp.eye(T, dtype=C.dtype)
     L = jnp.linalg.cholesky(K)
-    half = lax.linalg.triangular_solve(L, C, left_side=True, lower=True)
+    Cb = jnp.broadcast_to(C, K.shape)
+    half = lax.linalg.triangular_solve(L, Cb, left_side=True, lower=True)
     KinvC = lax.linalg.triangular_solve(
         L, half, left_side=True, lower=True, transpose_a=True
     )
-    logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
-    return -0.5 * jnp.trace(KinvC) - nseg * logdet
+    logdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    tr = jnp.trace(KinvC, axis1=-2, axis2=-1)
+    return -0.5 * tr - nseg * logdet
 
 
 def hstep(

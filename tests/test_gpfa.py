@@ -93,3 +93,44 @@ def test_loglik_finite():
     ll = gpfa.loglik(jnp.asarray(y), jnp.asarray(z), jnp.asarray(C),
                      jnp.asarray(d), jnp.asarray(R), 1.0, 3.0, 1.0)
     assert np.isfinite(float(ll))
+
+
+def test_em_estep_matches_reference_kronecker():
+    """With uniform noise R = c*I the reference's channel-major Kronecker
+    assembly (gpfa.py:30-44) is unambiguous (its kron(I_n, R) ordering slip
+    is invisible for scalar matrices), so the latent-space solve must match
+    it exactly."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from refshim import load_reference
+
+    if load_reference() is None:
+        import pytest
+        pytest.skip("reference unavailable")
+    import numpy.linalg as la
+
+    rng = np.random.default_rng(4)
+    m, n, ydim, zdim = 3, 15, 5, 2
+    C = rng.normal(size=(zdim, ydim))
+    d = rng.normal(size=ydim)
+    c_noise = 0.7
+    t = np.arange(n, dtype=float)
+    K = np.exp(-0.5 * ((t[:, None] - t) / 4.0) ** 2) + 1e-6 * np.eye(n)
+    y = rng.normal(size=(m, n, ydim))
+
+    # reference E-step body (gpfa.py:37-44), with R = c*I
+    bigK = np.kron(np.eye(zdim), K)
+    bigC = np.kron(C.T, np.eye(n))
+    bigR = np.kron(np.eye(n), np.eye(ydim) * c_noise)
+    A = bigK @ bigC.T
+    B = bigC @ A + bigR
+    resid = (y - d[None, None, :]).transpose(0, 2, 1).reshape(m, -1, 1)
+    z_ref = (A[None] @ la.solve(B[None], resid)).reshape(m, zdim, n).transpose(0, 2, 1)
+
+    z_ours = np.asarray(
+        gpfa._latent_space_estep(
+            jnp.asarray(y), jnp.asarray(C), jnp.asarray(d),
+            jnp.full(ydim, c_noise), jnp.asarray(K),
+        )
+    )
+    assert np.abs(z_ours - z_ref).max() < 1e-8

@@ -1,0 +1,34 @@
+"""Driver-contract regression: `python __graft_entry__.py` must pass in a
+fresh process on whatever backend that process picks by default.
+
+This is the exact scenario that failed in round 1 (MULTICHIP_r01): one real
+TPU chip as the default backend, `dryrun_multichip(8)` needing an 8-device
+mesh.  The entry must (a) provision virtual CPU devices itself and (b) never
+lower the Pallas path on the CPU mesh even when the default backend is TPU
+(ops/spd.py platform_dependent dispatch).  On a CPU-only host the same
+script exercises the virtual-mesh path.
+"""
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_graft_entry_script():
+    env = dict(os.environ)
+    # do NOT force a platform: the point is that the script must cope with
+    # whatever the driver environment provides
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "__graft_entry__.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=580,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "entry ok" in proc.stdout
+    assert "dryrun_multichip(8) ok" in proc.stdout

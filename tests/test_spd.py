@@ -52,6 +52,31 @@ def test_ns_warm_fallback_on_garbage():
     assert np.abs(X - X_ref).max() < 1e-4
 
 
+def test_ns_cold_escalates_on_huge_eigenvalues():
+    """ADVICE-r1 regression: a fixed-count cold NS start on an extreme
+    system (lambda_max ~4e4, where 16 iterations leave a ~0.1 error) must
+    residual-check and escalate instead of silently returning garbage."""
+    A = _psd((3,), 16, 1e3, seed=7)  # lambda_max ~4e4
+    X = np.asarray(inv_one_plus_psd(A, iters=16, force="ns"))
+    M = np.asarray(A, dtype=np.float64) + np.eye(16)
+    X_ref = np.linalg.inv(M)
+    assert np.isfinite(X).all()
+    # un-escalated 16-iteration NS leaves max error ~0.107 here
+    assert np.abs(X - X_ref).max() < 5e-3
+
+
+def test_auto_dispatch_runs_on_cpu():
+    """force=None must pick the platform's path at lowering time
+    (lax.platform_dependent) — on CPU that is the exact-Cholesky route."""
+    A = _psd((4,), 16, 0.5, seed=8)
+    X = np.asarray(inv_one_plus_psd(A))
+    X_ref = np.linalg.inv(np.asarray(A) + np.eye(16))
+    assert np.abs(X - X_ref).max() < 1e-4
+    B = A + jnp.eye(16)
+    Xi = np.asarray(spd_inverse(B))
+    assert np.abs(Xi - np.linalg.inv(np.asarray(B))).max() < 1e-4
+
+
 def test_xla_path_exact():
     A = _psd((4,), 20, 1.0, seed=3)
     X = np.asarray(inv_one_plus_psd(A, force="xla"))

@@ -52,7 +52,7 @@ def make_em_step(config: Config, dist: Dist = Dist()) -> Callable:
         data, params = constrain_latent(data, params, config, dist)
         params = mstep(data, params, config, dist=dist)
         if config.Hstep:
-            params = hstep(data, params, config, dist)
+            params = hstep(data, params, config, dist, rank=G.shape[-1])
             G = make_cholesky(data.nbin, params, rank=G.shape[-1])
         post = em_norms(data, params, dist)
         norms = dict(
@@ -110,7 +110,7 @@ def vem(
     @jax.jit
     def phase_h(d, p, g):
         if config.Hstep:
-            p = hstep(d, p, config)
+            p = hstep(d, p, config, rank=g.shape[-1])
             g = make_cholesky(T, p, rank=g.shape[-1])
         return p, g
 

@@ -219,7 +219,8 @@ def gp_elbo_stats(log_omega, C, nseg, T: int, sigmasq, gp_noise, dt):
 
 
 def hstep(
-    data: TrialSet, params: Params, config: Config, dist: Dist = Dist()
+    data: TrialSet, params: Params, config: Config, dist: Dist = Dist(),
+    rank: Optional[int] = None,
 ) -> Params:
     """Hyperparameter step: per-latent bounded search on log(omega).
 
@@ -229,13 +230,29 @@ def hstep(
     (gp.py:91-92).  Replicated here as a golden-section search per latent
     with the same at-bound rejection, run on the pooled (T, T) second-moment
     statistic so each candidate evaluation costs one T x T Cholesky.
+
+    The posterior-covariance refresh (``construct_posterior_cov``,
+    gp.py:126-147) runs in *factor space*: with the low-rank prior
+    K = G G' (the same prior the E-step itself uses), the pooled statistic
+    telescopes —
+
+        sum_s Sig_s = nseg * G G' - G (sum_s A_s X_s) G',
+        A_s = G' W_s G,  X_s = (I + A_s)^{-1}
+
+    — so the inner systems are the E-step's (rank x rank) Woodbury systems
+    (packed Pallas Newton-Schulz on TPU), and no (S, T, T) tensor is ever
+    materialized.  ``rank`` defaults to min(params.rank, T); the driver
+    passes the trimmed segment rank.
     """
     if not config.Hstep:
         return params
 
     T = data.nbin
-    lo = jnp.log(jnp.asarray(config.omega_bound[0], data.mu.dtype))
-    hi = jnp.log(jnp.asarray(config.omega_bound[1], data.mu.dtype))
+    Z = params.zdim
+    dtype = data.mu.dtype
+    rank = min(params.rank, T) if rank is None else min(rank, T)
+    lo = jnp.full((Z,), jnp.log(jnp.asarray(config.omega_bound[0], dtype)))
+    hi = jnp.full((Z,), jnp.log(jnp.asarray(config.omega_bound[1], dtype)))
     # count only segments with at least one valid bin — fully-masked rows
     # are sharding padding and must not bias the log-determinant term
     valid = jnp.max(data.mask, axis=1)  # (S,)
@@ -245,50 +262,82 @@ def hstep(
     # the at-bound rejection below would veto; keep it just inside.
     margin = 2e-3 * (hi - lo)
 
-    def per_latent(mu_l, w_l, sigma_l, omega_l):
-        # second moment of the posterior mean: local then psummed
-        Mbar = _psum(jnp.einsum("st,su->tu", mu_l, mu_l), dist.data)
-
-        def F(log_om):
-            # one fixed-point refinement: posterior covariance at the
-            # running omega, then a bounded search over the candidate kernel
-            Sig = posterior_cov_stack(
-                w_l, T, jnp.exp(log_om), sigma_l**2, params.gp_noise,
-                params.dt, data.mask, ns_iters=config.ns_iters + 2,
-            )
-            C = Mbar + _psum(jnp.einsum("s,stx->tx", valid, Sig), dist.data)
-
-            def obj(log_omega):
-                return -gp_elbo_stats(
-                    log_omega, C, nseg_total, T, sigma_l**2, params.gp_noise,
-                    params.dt,
-                )
-
-            return _golden_min(obj, lo, hi, config.hyper_iters)
-
-        # The fixed-point map log_om -> F(log_om) contracts slowly when the
-        # posterior was smoothed at the current omega (ratio near 1, so
-        # plain iteration crawls — the reference's L-BFGS shows the same
-        # near-stationary crawl, core trajectory in gp.py:65-97).  Aitken /
-        # Steffensen extrapolation jumps to the self-consistent omega:
-        x0 = jnp.log(omega_l)
-        x1 = F(x0)
-        x2 = F(x1)
-        d1 = x1 - x0
-        d2 = x2 - x1
-        denom = d2 - d1
-        safe = jnp.abs(denom) > 1e-12
-        aitken = x2 - jnp.where(safe, d2 * d2 / jnp.where(safe, denom, 1.0), 0.0)
-        # accept only a genuine contraction (same direction, shrinking)
-        contracting = (d1 * d2 > 0) & (jnp.abs(d2) < jnp.abs(d1))
-        x_star = jnp.where(contracting, aitken, x2)
-        x_star = jnp.clip(x_star, lo + margin, hi - margin)
-        # polish with one more refinement at the extrapolated point
-        return F(x_star)
-
     mu_t = jnp.moveaxis(data.mu, -1, 0)  # (Z, S, T)
-    w_t = jnp.moveaxis(data.w, -1, 0)
-    log_omega = jax.vmap(per_latent)(mu_t, w_t, params.sigma, params.omega)
+    w_t = jnp.moveaxis(data.w, -1, 0) * data.mask[None]
+    # second moment of the posterior mean: local then psummed
+    Mbar = _psum(jnp.einsum("zst,zsu->ztu", mu_t, mu_t), dist.data)
+    sigsq = (params.sigma**2).reshape(Z, 1, 1)
+    hp = lax.Precision.HIGHEST
+
+    eps = params.gp_noise
+    eyeT = jnp.eye(T, dtype=dtype)
+    # w-tilde: the ridge-folded weights w/(1 + eps*w).  With the ridged
+    # low-rank prior K = G G' + eps I (exactly the dense path's kernel up to
+    # the machine-precision ichol trimming), (K^-1 + W)^-1 expands into
+    # factor-space terms below — verified against the dense inverse to 1e-12.
+    # The ridge is load-bearing: without it tr(Kcand^-1 SigSum) loses O(1)
+    # contributions from the T-R null directions (Kcand^-1 has eigenvalues
+    # ~1/eps there) and the objective degenerately rewards omega -> bound.
+    wt2 = w_t / (1.0 + eps * w_t)
+
+    def F(log_om):
+        # one fixed-point refinement: posterior covariance at the running
+        # omega (factor space, see docstring), then a bounded search over
+        # the candidate kernel; (Z,) -> (Z,)
+        G_om = ichol_gauss_batch(T, jnp.exp(log_om), rank, params.dt)
+        G_om = G_om.astype(dtype) * params.sigma[:, None, None]
+        A = jnp.einsum("ztr,zst,ztq->zsrq", G_om, wt2, G_om)
+        X = inv_one_plus_psd(A, iters=config.ns_iters + 2)
+        P = wt2[..., None] * G_om[:, None]  # (Z,S,T,R): diag(w~) G
+        Q = jnp.einsum("zstr,zsrq->zstq", P, X)
+        AX = jnp.einsum("zsrq,zsqp->zsrp", A, X, precision=hp)
+        AXA = jnp.einsum("zsrq,zsqp->zsrp", AX, A, precision=hp)
+        sum_w = _psum(jnp.einsum("s,zst->zt", valid, wt2), dist.data)
+        sum_AXA_mA = _psum(
+            jnp.einsum("s,zsrq->zrq", valid, AXA - A), dist.data
+        )
+        sum_QP = _psum(jnp.einsum("s,zstr,zsur->ztu", valid, Q, P), dist.data)
+        sum_QA = _psum(jnp.einsum("s,zstr,zsrq->ztq", valid, Q, A), dist.data)
+        KK = jnp.einsum("ztr,zur->ztu", G_om, G_om, precision=hp)
+        GM = jnp.einsum("ztr,zrq->ztq", G_om, sum_AXA_mA, precision=hp)
+        t_qa = jnp.einsum("ztr,zur->ztu", sum_QA, G_om, precision=hp)
+        SigSum = (
+            nseg_total * (KK + eps * eyeT)
+            - eps * eps * sum_w[:, :, None] * eyeT
+            - eps * (KK * sum_w[:, None, :] + sum_w[:, :, None] * KK)
+            + eps * eps * sum_QP
+            + eps * (t_qa + jnp.swapaxes(t_qa, -1, -2))
+            + jnp.einsum("ztq,zuq->ztu", GM, G_om, precision=hp)
+        )
+        C = Mbar + SigSum
+
+        def obj(log_omega):
+            return -gp_elbo_stats(
+                log_omega, C, nseg_total, T, sigsq, params.gp_noise,
+                params.dt,
+            )
+
+        return _golden_min(obj, lo, hi, config.hyper_iters)
+
+    # The fixed-point map log_om -> F(log_om) contracts slowly when the
+    # posterior was smoothed at the current omega (ratio near 1, so
+    # plain iteration crawls — the reference's L-BFGS shows the same
+    # near-stationary crawl, core trajectory in gp.py:65-97).  Aitken /
+    # Steffensen extrapolation jumps to the self-consistent omega:
+    x0 = jnp.log(params.omega).astype(dtype)
+    x1 = F(x0)
+    x2 = F(x1)
+    d1 = x1 - x0
+    d2 = x2 - x1
+    denom = d2 - d1
+    safe = jnp.abs(denom) > 1e-12
+    aitken = x2 - jnp.where(safe, d2 * d2 / jnp.where(safe, denom, 1.0), 0.0)
+    # accept only a genuine contraction (same direction, shrinking)
+    contracting = (d1 * d2 > 0) & (jnp.abs(d2) < jnp.abs(d1))
+    x_star = jnp.where(contracting, aitken, x2)
+    x_star = jnp.clip(x_star, lo + margin, hi - margin)
+    # polish with one more refinement at the extrapolated point
+    log_omega = F(x_star)
 
     # reject updates that sit at the search bounds (gp.py:91-92)
     span = hi - lo

@@ -50,6 +50,14 @@ __all__ = ["spd_inverse", "spd_solve", "inv_one_plus_psd"]
 _LANE = 64  # padded matrix side (fits rank<=64; tiles at (8, 128) f32)
 _BB = 32  # matrices per block: each (32,64,64) f32 buffer is 0.5 MB VMEM
 
+# All NS / residual matmuls run at HIGHEST precision.  TPU's DEFAULT matmul
+# precision multiplies in bf16: measured on a v5e, that floors the NS
+# residual at ~8e-2 for benign systems (so every 1e-2 residual check fails)
+# and DIVERGES the iteration outright for lambda_max ≳ 4e3 (resid ~6e18).
+# These matrices are tiny (R<=128) and latency-bound, so full-f32 passes
+# cost little; the bulk (S,T,Y) einsums elsewhere keep the fast default.
+_PREC = lax.Precision.HIGHEST
+
 
 def _spd_inverse_kernel(a_ref, out_ref):
     A = a_ref[:]  # (BB, RP, RP) f32
@@ -93,6 +101,7 @@ def _spd_inverse_kernel(a_ref, out_ref):
         Linv, Linv,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=Linv.dtype,
+        precision=_PREC,
     )
 
 
@@ -127,26 +136,27 @@ def _spd_inverse_xla(A):
     L = jnp.linalg.cholesky(A)
     eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
     Linv = lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
-    return jnp.einsum("...kr,...kq->...rq", Linv, Linv)
+    return jnp.einsum("...kr,...kq->...rq", Linv, Linv, precision=_PREC)
 
 
-def _use_pallas(A) -> bool:
-    return (
-        _HAS_PALLAS
-        and A.dtype == jnp.float32
-        and A.shape[-1] <= _LANE
-        and jax.default_backend() == "tpu"
-    )
+# Convergence threshold on max|(I+A)X - I| for Newton-Schulz results; a
+# failed check falls back (escalated iterations, then exact Cholesky).
+_RESID_TOL = 1e-2
 
 
-def _use_ns(A, force: str | None) -> bool:
+def _ns_eligible(A, force: str | None) -> bool:
+    """Whether the NS path is *allowed* for this operand (dtype/shape).
+
+    Which path actually runs is decided per *lowering platform* via
+    ``lax.platform_dependent`` — NOT ``jax.default_backend()``, which lies
+    whenever the computation executes on a non-default backend (e.g. the
+    multi-chip dry run: a CPU mesh while the default backend is TPU).
+    """
     if force == "xla":
         return False
     if force in ("ns", "packed"):
         return True
-    return (
-        _HAS_PALLAS and A.dtype == jnp.float32 and jax.default_backend() == "tpu"
-    )
+    return _HAS_PALLAS and A.dtype == jnp.float32
 
 
 def _ns_sweep(M, X, eye, iters: int):
@@ -154,9 +164,9 @@ def _ns_sweep(M, X, eye, iters: int):
 
     def ns(_, X):
         MX = jnp.einsum("...rk,...kq->...rq", M, X,
-                        preferred_element_type=M.dtype)
+                        preferred_element_type=M.dtype, precision=_PREC)
         return jnp.einsum("...rk,...kq->...rq", X, 2.0 * eye - MX,
-                          preferred_element_type=M.dtype)
+                          preferred_element_type=M.dtype, precision=_PREC)
 
     return lax.fori_loop(0, iters, ns, X)
 
@@ -184,11 +194,46 @@ def inv_one_plus_psd(A, iters: int = 16, force: str | None = None,
 
     CPU / float64 use the exact Cholesky route (oracle tests).
     """
-    if not _use_ns(A, force):
-        R = A.shape[-1]
+    R = A.shape[-1]
+
+    def xla_path():
         return _spd_inverse_xla(A + jnp.eye(R, dtype=A.dtype))
 
+    if not _ns_eligible(A, force):
+        return xla_path()
+
+    def ns_path():
+        return _ns_auto(A, iters, force, warm, warm_iters, allow_packed)
+
+    if force in ("ns", "packed"):
+        return ns_path()
+    # Auto: pick per execution platform at lowering time.  Only the branch
+    # for the platform actually compiling is lowered, so the Pallas call
+    # never reaches a CPU lowering (where it would fail).
+    return lax.platform_dependent(tpu=ns_path, default=xla_path)
+
+
+def _checked(X, resid, fallback):
+    """Accept X when its NS residual converged, else take ``fallback``."""
+    return lax.cond(
+        jnp.isfinite(resid) & (resid < _RESID_TOL), lambda: X, fallback
+    )
+
+
+def _ns_auto(A, iters, force, warm, warm_iters, allow_packed):
+    """Newton-Schulz (I+A)^{-1}, residual-checked at every exit.
+
+    Cold starts escalate: ``iters`` more refinements if the first pass
+    missed the tolerance (quadratic convergence makes one escalation cover
+    condition numbers to ~1e9), exact Cholesky as the final safety net —
+    the ADVICE-r1 fix: the production TPU path must never silently return
+    an unconverged inverse (plausible early in Poisson fits where
+    trunc_exp admits rates up to e^10).
+    """
     R = A.shape[-1]
+
+    def xla_path():
+        return _spd_inverse_xla(A + jnp.eye(R, dtype=A.dtype))
 
     if (allow_packed and force != "ns" and R <= 128
             and A.dtype == jnp.float32):
@@ -198,37 +243,49 @@ def inv_one_plus_psd(A, iters: int = 16, force: str | None = None,
         flat = A.reshape((-1, R, R))
 
         def cold_packed():
-            return _ns_packed_pallas(flat, iters=iters)[0].reshape(shape)
+            X, resid = _ns_packed_pallas(flat, iters=iters)
+
+            def escalate():
+                X2, r2 = _ns_packed_pallas(flat, iters=iters, x0=X)
+                return _checked(X2, r2, xla_path_flat)
+
+            def xla_path_flat():
+                return _spd_inverse_xla(flat + jnp.eye(R, dtype=A.dtype))
+
+            return _checked(X, resid, escalate).reshape(shape)
 
         if warm is None:
             return cold_packed()
         Xw, resid = _ns_packed_pallas(
             flat, iters=warm_iters, x0=warm.astype(A.dtype).reshape(flat.shape)
         )
-        return lax.cond(
-            jnp.isfinite(resid) & (resid < 1e-2),
-            lambda: Xw.reshape(shape),
-            cold_packed,
-        )
+        return _checked(Xw.reshape(shape), resid, cold_packed)
 
     eye = jnp.eye(R, dtype=A.dtype)
     M = A + eye
 
+    def _resid(X):
+        MX = jnp.einsum("...rk,...kq->...rq", M, X,
+                        preferred_element_type=jnp.float32,
+                        precision=_PREC)
+        return jnp.max(jnp.abs(MX - eye))
+
     def cold():
         lhat = jnp.max(jnp.sum(jnp.abs(M), axis=-1), axis=-1)
         X0 = (2.0 / (1.0 + lhat))[..., None, None] * eye
-        return _ns_sweep(M, X0, eye, iters)
+        X = _ns_sweep(M, X0, eye, iters)
+
+        def escalate():
+            X2 = _ns_sweep(M, X, eye, iters)
+            return _checked(X2, _resid(X2), lambda: _spd_inverse_xla(M))
+
+        return _checked(X, _resid(X), escalate)
 
     if warm is None:
         return cold()
 
     X = _ns_sweep(M, warm.astype(M.dtype), eye, warm_iters)
-    MX = jnp.einsum("...rk,...kq->...rq", M, X,
-                    preferred_element_type=jnp.float32)
-    resid = jnp.max(jnp.abs(MX - eye))
-    return lax.cond(
-        jnp.isfinite(resid) & (resid < 1e-2), lambda: X, cold
-    )
+    return _checked(X, _resid(X), cold)
 
 
 def spd_inverse(A, force: str | None = None):
@@ -242,8 +299,14 @@ def spd_inverse(A, force: str | None = None):
     flat = A.reshape((-1, R, R))
     if force == "interpret":
         out = _spd_inverse_pallas(flat, interpret=True)
-    elif force == "pallas" or (force is None and _use_pallas(A)):
+    elif force == "pallas":
         out = _spd_inverse_pallas(flat)
+    elif force is None and _HAS_PALLAS and A.dtype == jnp.float32 and R <= _LANE:
+        # per-lowering-platform dispatch (see _ns_eligible docstring)
+        out = lax.platform_dependent(
+            tpu=lambda: _spd_inverse_pallas(flat),
+            default=lambda: _spd_inverse_xla(flat),
+        )
     else:
         out = _spd_inverse_xla(flat)
     return out.reshape(batch_shape + (R, R))
@@ -303,6 +366,7 @@ def _make_ns_packed_kernel(R: int, gpt: int, tiles: int, iters: int,
                 P, Q,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
+                precision=_PREC,
             )
 
         def ns(_, X):

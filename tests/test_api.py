@@ -168,3 +168,18 @@ def test_sample_posterior_lowrank_matches_dense(fitted):
     # and the marginal std matches the VB variance v
     v = np.sqrt(np.asarray(fitted.data.v[0]))
     assert np.abs(s_lr.std(0) - v).mean() < 0.05
+
+
+def test_fit_path_checkpoints(data, tmp_path):
+    """fit(path=...) snapshots during VEM and leaves a restorable final
+    checkpoint without any user-supplied callbacks (the reference README:72
+    promise; its own wiring is commented out at api.py:32-37)."""
+    from vlgp_tpu.utils.io import load_params
+
+    trials, _ = data
+    ckpt = tmp_path / "snap"
+    res = vlgp_tpu.fit(trials, 2, max_iter=2, min_iter=1,
+                       path=str(ckpt), saving_interval=0.0)
+    restored = load_params(ckpt.with_suffix(".npz"))
+    assert np.abs(np.asarray(restored.a) - np.asarray(res.params.a)).max() == 0
+    assert np.abs(np.asarray(restored.omega) - np.asarray(res.params.omega)).max() == 0

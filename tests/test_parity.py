@@ -127,6 +127,30 @@ def test_estep_mstep_parity(problem):
         assert err < 1e-6, (k, err)
 
 
+def test_mstep_gradient_mode_parity(problem):
+    """use_hessian=False must reproduce the reference's plain-gradient
+    update delta = learning_rate * grad (core.py:196-197, 215-216)."""
+    from vlgp.core import mstep as rmstep
+    from vlgp.core import update_v as ruv, update_w as ruw
+
+    p = problem
+    ruw(p["ref_trials"], p["ref_params"], p["ref_config"])
+    ruv(p["ref_trials"], p["ref_params"], p["ref_config"])
+    data = update_w(p["data"], p["params"], p["config"])
+    data = update_v(data, p["params"], p["G"], p["config"])
+
+    rc = dict(p["ref_config"], use_hessian=False, learning_rate=0.01)
+    rmstep(p["ref_trials"], p["ref_params"], rc)
+    config = p["config"].replace(use_hessian=False, learning_rate=0.01)
+    params = mstep(data, p["params"], config)
+    for k in ("a", "b", "noise"):
+        err = np.abs(np.asarray(getattr(params, k)) - p["ref_params"][k]).max()
+        assert err < 1e-8, (k, err)
+    # and it must observably differ from the Newton path on the same state
+    params_newton = mstep(data, p["params"], p["config"])
+    assert np.abs(np.asarray(params.a) - np.asarray(params_newton.a)).max() > 1e-6
+
+
 def test_constrain_loading_parity(problem):
     from vlgp.core import constrain_loading as rcl
 

@@ -154,8 +154,22 @@ def fit(
     trials: list of dicts with ``y`` (length, ydim); optional ``x``, ``mu``.
     Unequal lengths are padded and masked.  ``fused=True`` runs each EM
     iteration as a single jitted graph (fastest on remote-attached devices).
+
+    Passing ``path=...`` snapshots the parameters every
+    ``saving_interval`` seconds during VEM and writes a final restorable
+    checkpoint at ``<path>.npz`` — the behavior the reference README
+    advertises (README.md:72) but never delivers (its Saver wiring is
+    commented out at api.py:32-37 and the callback itself crashes,
+    callback.py:22).  Restore with :func:`vlgp_tpu.utils.io.load_params`.
     """
     config = default_config(**config_kwargs)
+    callbacks = list(callbacks)
+    saver = None
+    if config.path is not None:
+        from .callback import Saver
+
+        saver = Saver(config.path, config.saving_interval)
+        callbacks.append(saver)
     data, params, fm = _prepare(
         trials, n_factors, config,
         lik=lik, history=history, a=a, b=b, noise=noise, sigma=sigma,
@@ -192,6 +206,9 @@ def fit(
     data = update_w(data, params, config)
     data = update_v(data, params, G_full, config)
     data = infer(data, params, G_full, config)
+
+    if saver is not None:  # final snapshot regardless of the interval
+        saver.save(data, params, config, force=True)
 
     return FitResult(
         data=data,

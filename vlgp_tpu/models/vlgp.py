@@ -238,7 +238,13 @@ def mstep(
     data: TrialSet, params: Params, config: Config,
     niter: Optional[int] = None, dist: Dist = Dist()
 ) -> Params:
-    """M-step: Newton for Poisson channels, closed form for Gaussian.
+    """M-step: Newton (or plain gradient) for Poisson channels, closed form
+    for Gaussian.
+
+    ``config.use_hessian=False`` selects the reference's gradient mode
+    (core.py:196-197, 215-216): ``delta = learning_rate * grad`` with the
+    same update clipping; the Hessian sufficient statistics are then never
+    built (config is static under jit, so the branch costs nothing).
 
     Reference: core.py:129-249.  The per-neuron loop becomes batched
     sufficient-statistic einsums; cross-trial sums become masked reductions
@@ -282,27 +288,32 @@ def mstep(
         C1 = _psum(jnp.einsum("zst,sty->zy", mum, y - r), dist.data)
         C2 = _psum(jnp.einsum("zst,sty->zy", vm, r), dist.data)
         grad_a = C1 - a * C2  # (z, y)
-        # Hessian of -loglik w.r.t. a[:, n], built from shared stats:
-        # (mu + v a_n)' diag(r_n) (mu + v a_n) + diag(r_n' v)
-        E1 = _psum(jnp.einsum("sty,zst,kst->yzk", rm, muz, muz), dist.data)
-        E2 = _psum(jnp.einsum("sty,zst,kst->yzk", rm, vz, muz), dist.data)
-        E3 = _psum(jnp.einsum("sty,zst,kst->yzk", rm, vz, vz), dist.data)
-        an = a.T  # (y, z)
-        nhess = (
-            E1
-            + an[:, :, None] * E2
-            + an[:, None, :] * jnp.swapaxes(E2, 1, 2)
-            + an[:, :, None] * an[:, None, :] * E3
-            + C2.T[:, :, None] * Iz
-        )
-        delta_a = jnp.linalg.solve(nhess + eps * Iz, grad_a.T[..., None])[..., 0]
-        delta_a = jnp.clip(delta_a.T, -config.da_bound, config.da_bound)  # (z, y)
-
-        # ---- Poisson regression update (core.py:205-218) ----
         grad_b = _psum(jnp.einsum("stxy,sty->xy", x, (ym - rm)), dist.data)
-        nhess_b = _psum(jnp.einsum("stxy,sty,stqy->yxq", x, rm, x), dist.data)
-        delta_b = jnp.linalg.solve(nhess_b + eps * Ix, grad_b.T[..., None])[..., 0]
-        delta_b = jnp.clip(delta_b.T, -config.db_bound, config.db_bound)  # (x, y)
+        if config.use_hessian:
+            # Hessian of -loglik w.r.t. a[:, n], built from shared stats:
+            # (mu + v a_n)' diag(r_n) (mu + v a_n) + diag(r_n' v)
+            E1 = _psum(jnp.einsum("sty,zst,kst->yzk", rm, muz, muz), dist.data)
+            E2 = _psum(jnp.einsum("sty,zst,kst->yzk", rm, vz, muz), dist.data)
+            E3 = _psum(jnp.einsum("sty,zst,kst->yzk", rm, vz, vz), dist.data)
+            an = a.T  # (y, z)
+            nhess = (
+                E1
+                + an[:, :, None] * E2
+                + an[:, None, :] * jnp.swapaxes(E2, 1, 2)
+                + an[:, :, None] * an[:, None, :] * E3
+                + C2.T[:, :, None] * Iz
+            )
+            delta_a = jnp.linalg.solve(nhess + eps * Iz, grad_a.T[..., None])[..., 0].T
+            # ---- Poisson regression update (core.py:205-218) ----
+            nhess_b = _psum(jnp.einsum("stxy,sty,stqy->yxq", x, rm, x), dist.data)
+            delta_b = jnp.linalg.solve(nhess_b + eps * Ix, grad_b.T[..., None])[..., 0].T
+        else:
+            # gradient mode (core.py:196-197, 215-216): a plain ascent step
+            # delta = learning_rate * grad, same clipping as the Newton path
+            delta_a = config.learning_rate * grad_a
+            delta_b = config.learning_rate * grad_b
+        delta_a = jnp.clip(delta_a, -config.da_bound, config.da_bound)  # (z, y)
+        delta_b = jnp.clip(delta_b, -config.db_bound, config.db_bound)  # (x, y)
 
         a_pois = a + delta_a
         b_pois = b + delta_b

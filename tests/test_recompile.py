@@ -1,0 +1,82 @@
+"""Recompilation regression tests (VERDICT-r1 weak #3).
+
+Counts actual XLA compilations via jax_log_compiles: leave_one_neuron_out
+must compile once no matter how many neurons are scored, and repeated
+infer/transform calls at the same shapes must reuse the cached executable.
+"""
+import logging
+
+import numpy as np
+import jax
+import pytest
+
+import vlgp_tpu
+from vlgp_tpu.model_selection import leave_one_neuron_out
+
+
+class _CompileCounter(logging.Handler):
+    def __init__(self):
+        super().__init__(level=logging.WARNING)
+        self.count = 0
+
+    def emit(self, record):
+        if "Finished XLA compilation" in record.getMessage():
+            self.count += 1
+
+
+class count_compiles:
+    def __enter__(self):
+        self.handler = _CompileCounter()
+        self.logger = logging.getLogger("jax._src.dispatch")
+        self.logger.addHandler(self.handler)
+        jax.config.update("jax_log_compiles", True)
+        return self.handler
+
+    def __exit__(self, *exc):
+        jax.config.update("jax_log_compiles", False)
+        self.logger.removeHandler(self.handler)
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    rng = np.random.default_rng(0)
+    ydim, zdim, length, ntrial = 10, 2, 80, 4
+    a = rng.normal(size=(zdim, ydim)) * 0.8
+    trials = []
+    for _ in range(ntrial):
+        z = np.column_stack(
+            (np.sin(np.linspace(0, 6 * np.pi, length)),
+             np.cos(np.linspace(0, 6 * np.pi, length)))
+        )
+        y = rng.poisson(np.exp(z @ a - 1.5)).astype(float)
+        trials.append({"y": y})
+    res = vlgp_tpu.fit(trials, zdim, max_iter=3, min_iter=1)
+    return trials, res
+
+
+def test_lono_compiles_once(fitted):
+    _, res = fitted
+    with count_compiles() as warm:
+        leave_one_neuron_out(res, neurons=[0])
+    with count_compiles() as more:
+        scores = leave_one_neuron_out(res, neurons=[1, 2, 3, 4, 5])
+    assert len(scores) == 5
+    # scoring 5 more neurons must not compile anything new
+    assert more.count == 0, (warm.count, more.count)
+
+
+def test_transform_reuses_executables(fitted):
+    trials, res = fitted
+    with count_compiles() as first:
+        vlgp_tpu.transform(trials, res)
+    with count_compiles() as second:
+        vlgp_tpu.transform(trials, res)
+    assert second.count == 0, (first.count, second.count)
+
+
+def test_repeated_fit_reuses_executables(fitted):
+    """A second fit at identical shapes/config skips every phase compile."""
+    trials, _ = fitted
+    with count_compiles() as second:
+        vlgp_tpu.fit(trials, 2, max_iter=3, min_iter=1)
+    assert second.count == 0, second.count

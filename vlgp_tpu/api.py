@@ -351,8 +351,8 @@ def resume(result: FitResult, **config_kwargs) -> FitResult:
     config = result.config if not config_kwargs else result.config.replace(**config_kwargs)
     data, params, G = result.data, result.params, result.G
     data = infer(data, params, G, config)
-    from .models.vlgp import mstep
+    from .models.driver import _mstep_jit
 
-    params = jax.jit(lambda d, p: mstep(d, p, config))(data, params)
+    params = _mstep_jit(config)(data, params)
     data = infer(data, params, G, config)
     return dataclasses.replace(result, data=data, params=params, config=config)

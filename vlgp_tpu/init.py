@@ -11,6 +11,7 @@ reference stashes in ``params['transform']`` becomes an explicit
 """
 from __future__ import annotations
 
+import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -37,10 +38,13 @@ class FactorModel(struct.PyTreeNode):
         return (y - self.mean) @ jnp.linalg.solve(m, ap).T
 
 
+@functools.partial(jax.jit, static_argnames=("zdim", "n_iter", "eps"))
 def fit_factor_analysis(y, zdim: int, n_iter: int = 64, eps: float = 1e-6) -> FactorModel:
     """EM for factor analysis (Ghahramani-Hinton), fully jittable.
 
     y: (n, ydim).  Replaces sklearn FactorAnalysis (preprocess.py:18-23).
+    Jitted at module level so repeated fits at the same shapes reuse the
+    executable (the eager fori_loop recompiled its scan per call).
     """
     y = jnp.asarray(y)
     n, ydim = y.shape

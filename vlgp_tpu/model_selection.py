@@ -6,6 +6,7 @@ inner fit throws (model_selection.py:43-46); errors propagate here.
 """
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -93,57 +94,65 @@ def leave_one_neuron_out(
 
     result: :class:`~vlgp_tpu.api.FitResult`.
     Returns dict {neuron: mean predictive log-likelihood per bin}.
-    """
-    import jax.numpy as jnp
 
-    from .config import make_params
-    from .models.driver import infer
+    Compiles ONCE for any number of held-out neurons (VERDICT-r1 hotspot:
+    the old per-neuron gather changed shapes, recompiling Y times).  The
+    held-out channel is excluded by zeroing its loading column: every
+    posterior update contracts the channel axis against ``a`` — the E-step
+    residual projection ``s = einsum(residual, a)`` and the weights
+    ``w = U (a*a)'`` (models/vlgp.py) — so a zero column removes channel
+    n's influence *exactly*, with no shape change.
+    """
     from .models.gp import make_cholesky
-    from .models.vlgp import update_v, update_w
 
     data, params, config = result.data, result.params, result.config
     ydim = params.ydim
     if neurons is None:
         neurons = range(ydim)
 
-    scores = {}
-    for n in neurons:
-        keep = jnp.asarray([i for i in range(ydim) if i != n])
-        params_n = make_params(
-            ydim - 1, params.zdim, params.xdim,
-            ["poisson" if bool(params.poisson[i]) else "gaussian"
-             for i in range(ydim) if i != n],
-            a=params.a[:, keep], b=params.b[:, keep],
-            noise=params.noise[keep], sigma=params.sigma, omega=params.omega,
-            rank=params.rank, gp_noise=params.gp_noise, dt=params.dt,
-            dtype=params.a.dtype,
-        )
-        d_n = data.replace(
-            y=data.y[:, :, keep], x=data.x[:, :, :, keep],
-            mu=jnp.zeros_like(data.mu), w=jnp.zeros_like(data.w),
-            v=jnp.zeros_like(data.v), dmu=jnp.zeros_like(data.dmu),
-        )
-        G = make_cholesky(d_n.nbin, params_n)
-        d_n = update_w(d_n, params_n, config)
-        d_n = update_v(d_n, params_n, G, config)
-        d_n = infer(d_n, params_n, G, config)
+    G = make_cholesky(data.nbin, params)
+    d0 = data.replace(
+        mu=jnp.zeros_like(data.mu), w=jnp.zeros_like(data.w),
+        v=jnp.zeros_like(data.v), dmu=jnp.zeros_like(data.dmu),
+    )
+    score_one = _lono_scorer(config, ydim)
+    return {int(n): float(score_one(jnp.asarray(n), d0, params, G))
+            for n in neurons}
 
-        # predict the held-out channel from the inferred latents
-        eta = (
-            jnp.einsum("stz,z->st", d_n.mu, params.a[:, n])
-            + jnp.einsum("stx,x->st", data.x[:, :, :, n], params.b[:, n])
+
+@functools.lru_cache(maxsize=32)
+def _lono_scorer(config: Config, ydim: int):
+    """One jitted per-neuron scorer, cached on (config, ydim) so repeated
+    leave_one_neuron_out calls at the same shapes reuse the executable."""
+    from .models.vlgp import estep, update_v, update_w
+
+    @jax.jit
+    def score_one(n, d0, params, G):
+        cmask = (jnp.arange(ydim) != n).astype(params.a.dtype)
+        p_n = params.replace(a=params.a * cmask)
+        d_n = update_w(d0, p_n, config)
+        d_n = update_v(d_n, p_n, G, config)
+        d_n = estep(d_n, p_n, G, config, niter=config.max_iter)
+
+        # predict the held-out channel from the inferred latents, under the
+        # FULL fitted parameters
+        a_n = jnp.take(params.a, n, axis=1)  # (z,)
+        b_n = jnp.take(params.b, n, axis=1)  # (x,)
+        eta = jnp.einsum("stz,z->st", d_n.mu, a_n) + jnp.einsum(
+            "stx,x->st", jnp.take(d0.x, n, axis=3), b_n
         )
-        m = data.mask
+        m = d0.mask
         nvalid = jnp.maximum(jnp.sum(m), 1.0)
-        y_n = data.y[:, :, n]
-        if bool(params.poisson[n]):
-            ll = jnp.sum((y_n * eta - jnp.exp(eta)) * m) / nvalid
-        else:
-            quad = 0.5 * jnp.einsum("stz,z->st", d_n.v, params.a[:, n] ** 2)
-            resid = (y_n - eta) * m
-            ll = -0.5 * jnp.sum(
-                (resid**2 / params.noise[n]
-                 + jnp.log(2 * jnp.pi * params.noise[n]) * m)
-            ) / nvalid - jnp.sum(quad * m) / nvalid / params.noise[n]
-        scores[int(n)] = float(ll)
-    return scores
+        y_n = jnp.take(d0.y, n, axis=2)
+        noise_n = jnp.take(params.noise, n)
+        ll_pois = jnp.sum((y_n * eta - jnp.exp(eta)) * m) / nvalid
+        quad = 0.5 * jnp.einsum("stz,z->st", d_n.v, a_n * a_n)
+        resid = (y_n - eta) * m
+        ll_gauss = (
+            -0.5 * jnp.sum(resid * resid / noise_n
+                           + jnp.log(2 * jnp.pi * noise_n) * m) / nvalid
+            - jnp.sum(quad * m) / nvalid / noise_n
+        )
+        return jnp.where(jnp.take(params.poisson, n), ll_pois, ll_gauss)
+
+    return score_one

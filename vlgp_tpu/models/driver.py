@@ -14,6 +14,7 @@ Two execution styles are provided:
 """
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable, Sequence, Tuple
 
@@ -64,6 +65,60 @@ def make_em_step(config: Config, dist: Dist = Dist()) -> Callable:
     return em_step
 
 
+@functools.lru_cache(maxsize=32)
+def _vem_phases(config: Config, T: int):
+    """Jitted VEM phase functions, cached on (static config, trial length).
+
+    Fresh-lambda-in-jit per call was a verified recompile hotspot (VERDICT
+    r1): repeated ``vem``/``transform``/CV sweeps at the same shapes paid a
+    full compile each.  jax.jit keeps its own executable cache *per Python
+    callable*, so the callables themselves must be reused.
+    """
+
+    @jax.jit
+    def phase_e(d, p, g):
+        n0 = em_norms(d, p)
+        d, p = constrain_loading(d, p, config)
+        d = estep(d, p, g, config)
+        return d, p, n0
+
+    @jax.jit
+    def phase_m(d, p):
+        d, p = constrain_latent(d, p, config)
+        p = mstep(d, p, config)
+        return d, p
+
+    @jax.jit
+    def phase_h(d, p, g):
+        if config.Hstep:
+            p = hstep(d, p, config, rank=g.shape[-1])
+            g = make_cholesky(T, p, rank=g.shape[-1])
+        return p, g
+
+    @jax.jit
+    def phase_norms(d, p):
+        return em_norms(d, p)
+
+    return phase_e, phase_m, phase_h, phase_norms
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_em_jit(config: Config):
+    return jax.jit(make_em_step(config))
+
+
+@functools.lru_cache(maxsize=64)
+def _infer_jit(config: Config, niter: int, dist: Dist):
+    return jax.jit(
+        lambda d, p, g: estep(d, p, g, config, niter=niter, dist=dist)
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _mstep_jit(config: Config):
+    return jax.jit(lambda d, p: mstep(d, p, config))
+
+
 def _converged(norms, tol: float) -> bool:
     """norm(d.) < tol * norm(.) for mu, a, b (squared-norm form,
     core.py:354)."""
@@ -92,31 +147,7 @@ def vem(
     """
     if fused:
         return _vem_fused(data, params, G, config, callbacks, verbose)
-    T = data.nbin
-
-    @jax.jit
-    def phase_e(d, p, g):
-        n0 = em_norms(d, p)
-        d, p = constrain_loading(d, p, config)
-        d = estep(d, p, g, config)
-        return d, p, n0
-
-    @jax.jit
-    def phase_m(d, p):
-        d, p = constrain_latent(d, p, config)
-        p = mstep(d, p, config)
-        return d, p
-
-    @jax.jit
-    def phase_h(d, p, g):
-        if config.Hstep:
-            p = hstep(d, p, config, rank=g.shape[-1])
-            g = make_cholesky(T, p, rank=g.shape[-1])
-        return p, g
-
-    @jax.jit
-    def phase_norms(d, p):
-        return em_norms(d, p)
+    phase_e, phase_m, phase_h, phase_norms = _vem_phases(config, data.nbin)
 
     runtime = {"it": 0, "e_elapsed": [], "m_elapsed": [], "h_elapsed": [], "em_elapsed": []}
 
@@ -166,7 +197,7 @@ def vem(
 
 
 def _vem_fused(data, params, G, config, callbacks, verbose):
-    em = jax.jit(make_em_step(config))
+    em = _fused_em_jit(config)
     runtime = {"it": 0, "e_elapsed": [], "m_elapsed": [], "h_elapsed": [],
                "em_elapsed": []}
     for it in range(config.max_iter):
@@ -196,6 +227,7 @@ def infer(
     dist: Dist = Dist(),
 ) -> TrialSet:
     """Inference-only pass: E-step run for ``max_iter`` sweeps
-    (core.py:260-266, which temporarily rebinds Eniter)."""
-    fn = jax.jit(lambda d, p, g: estep(d, p, g, config, niter=config.max_iter, dist=dist))
-    return fn(data, params, G)
+    (core.py:260-266, which temporarily rebinds Eniter).  The jitted
+    callable is cached on (config, dist): repeated ``transform``/CV calls
+    at the same shapes compile once."""
+    return _infer_jit(config, config.max_iter, dist)(data, params, G)

@@ -56,8 +56,17 @@ def test_fit_sharded_matches_single_device():
     assert np.abs(mu_m - mu_1).max() < 1e-6
 
 
-def test_fit_sharded_rejects_bad_model_axis():
-    trials, _ = _trials(ydim=15)  # 15 channels don't divide model=2
+def test_fit_sharded_pads_odd_channel_count():
+    """15 channels on a model axis of 2: padded with an inert channel, and
+    the result matches the single-device fit on the same 15 channels."""
+    trials, zt = _trials(seed=2, ydim=15)
     mesh = make_mesh((4, 2))
-    with pytest.raises(ValueError):
-        fit_sharded(trials, 2, mesh=mesh)
+    res_m = fit_sharded(trials, 2, mesh=mesh, dtype="float64", max_iter=4,
+                        min_iter=1)
+    assert res_m.params.ydim == 15
+    assert res_m.data.ydim == 15
+    res_1 = vlgp_tpu.fit(trials, 2, dtype="float64", max_iter=4, min_iter=1)
+    assert np.abs(np.asarray(res_m.params.a) - np.asarray(res_1.params.a)).max() < 1e-6
+    mu_m = np.concatenate([t["mu"] for t in res_m.trials])
+    mu_1 = np.concatenate([t["mu"] for t in res_1.trials])
+    assert np.abs(mu_m - mu_1).max() < 1e-6

@@ -89,9 +89,16 @@ def _rates(eta, vz, a):
     return trunc_exp(eta + jnp.einsum("zst,zy->sty", vz, 0.5 * a * a))
 
 
+def _safe_noise(noise):
+    """Division-safe Gaussian noise: padded/degenerate channels can carry
+    noise == 0 (their loading column is zero, so 1/noise would turn an
+    exact no-op contribution into NaN via inf * 0)."""
+    return jnp.maximum(noise, jnp.asarray(1e-30, noise.dtype))
+
+
 def _residual(y, eta, r, params: Params):
     """GLM working residual (core.py:82-83)."""
-    return jnp.where(params.poisson, y - r, (y - eta) / params.noise)
+    return jnp.where(params.poisson, y - r, (y - eta) / _safe_noise(params.noise))
 
 
 def _weights(U, a, dist: Dist):
@@ -186,7 +193,7 @@ def estep(
         # refresh weights under the updated posterior (core.py:100-104)
         eta = _eta(muz, a, xb)
         r = _rates(eta, vz, a)
-        U = jnp.where(params.poisson, r, 1.0 / params.noise)
+        U = jnp.where(params.poisson, r, 1.0 / _safe_noise(params.noise))
         wz = _weights(U, a, dist) * maskz
         X = _woodbury_inverse(G, wz, iters=config.ns_iters, warm=X,
                               warm_iters=config.ns_warm_iters)
@@ -209,7 +216,7 @@ def update_w(data: TrialSet, params: Params, config: Config, dist: Dist = Dist()
     muz, vz = _zmajor(data.mu), _zmajor(data.v)
     eta = _eta(muz, params.a, _xb(data.x, params.b))
     r = _rates(eta, vz, params.a)
-    U = jnp.where(params.poisson, r, 1.0 / params.noise)
+    U = jnp.where(params.poisson, r, 1.0 / _safe_noise(params.noise))
     wz = _weights(U, params.a, dist) * data.mask[None]
     return data.replace(w=_zminor(wz))
 

@@ -21,7 +21,15 @@ from ..data import cut_trials, scatter_segments
 from ..models.driver import _converged
 from ..models.gp import make_cholesky
 from ..models.vlgp import update_v, update_w
-from .mesh import make_mesh, pad_segments, replicate, shard_data
+from .mesh import (
+    make_mesh,
+    to_host,
+    pad_channels,
+    pad_segments,
+    replicate,
+    shard_data,
+    trim_channels,
+)
 from .spmd import sharded_em_step, sharded_infer
 
 __all__ = ["fit_sharded", "initialize_distributed"]
@@ -43,9 +51,10 @@ def fit_sharded(
 ) -> FitResult:
     """Fit vLGP with the EM step sharded over a ('data', 'model') mesh.
 
-    Channel count must divide the model-axis size.  Extra keyword args are
-    split between model parameters and :class:`Config` exactly as in
-    :func:`vlgp_tpu.fit`.
+    Any channel count works with any model-axis size: channels are padded
+    with exactly-inert masked channels when needed (:func:`pad_channels`).
+    Extra keyword args are split between model parameters and
+    :class:`Config` exactly as in :func:`vlgp_tpu.fit`.
     """
     config_keys = set(Config.__dataclass_fields__)
     config = default_config(**{k: v for k, v in kwargs.items() if k in config_keys})
@@ -56,10 +65,10 @@ def fit_sharded(
         mesh = make_mesh()
     n_data = mesh.shape["data"]
     n_model = mesh.shape["model"]
-    if data.ydim % n_model:
-        raise ValueError(
-            f"ydim {data.ydim} must divide the model axis ({n_model})"
-        )
+    ydim_real = data.ydim
+    # channel count need not divide the model axis: pad with exactly-inert
+    # masked channels (zero data, zero loading, Gaussian likelihood)
+    data, params = pad_channels(data, params, n_model)
 
     G_full = make_cholesky(data.nbin, params)
     data = update_w(data, params, config)
@@ -90,7 +99,7 @@ def fit_sharded(
             break
 
     # gather the trained posterior back into the full trials
-    seg_host = jax.tree.map(np.asarray, segments)
+    seg_host = to_host(segments)
     seg_trim = jax.tree.map(lambda x: x[:n_real_segments], seg_host)
     data = scatter_segments(data, seg_trim)
 
@@ -103,16 +112,18 @@ def fit_sharded(
     params_r, G_full_r = replicate((params, G_full), mesh)
     inf = sharded_infer(mesh, config, data_s, params_r)
     data_s = inf(data_s, params_r, G_full_r)
-    data = jax.tree.map(lambda x: np.asarray(x)[:n_trials_real], data_s)
+    data = jax.tree.map(lambda x: x[:n_trials_real], to_host(data_s))
     from ..data import TrialSet
 
     data = TrialSet(**{f: jnp.asarray(getattr(data, f))
                        for f in ("y", "x", "mask", "mu", "w", "v", "dmu",
                                  "trial_idx", "start", "lengths")})
+    data, params = trim_channels(data, jax.tree.map(jnp.asarray, to_host(params)),
+                                 ydim_real)
 
     return FitResult(
         data=data,
-        params=jax.tree.map(jnp.asarray, params),
+        params=params,
         config=config,
         factor_model=fm,
         G=G_full,

@@ -30,6 +30,8 @@ __all__ = [
     "shard_data",
     "replicate",
     "pad_segments",
+    "pad_channels",
+    "trim_channels",
 ]
 
 
@@ -83,19 +85,99 @@ def params_specs(params: Params) -> Params:
     )
 
 
+def _put(x, mesh: Mesh, spec) -> jax.Array:
+    """Place a host array onto the mesh under ``spec``.
+
+    Multi-host safe: when the mesh spans processes, ``jax.device_put``
+    cannot target non-addressable devices, so each process contributes its
+    addressable shards from the (identical) host value instead.
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+    return jax.device_put(x, sharding)
+
+
+def to_host(tree):
+    """Fetch a (possibly multi-host global) pytree fully onto every host."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return jax.tree.map(
+            lambda x: np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)
+            ),
+            tree,
+        )
+    return jax.tree.map(np.asarray, tree)
+
+
 def shard_data(data: TrialSet, mesh: Mesh) -> TrialSet:
     """Place a TrialSet onto the mesh with the canonical shardings."""
     specs = data_specs(data)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), data, specs
-    )
+    return jax.tree.map(lambda x, s: _put(x, mesh, s), data, specs)
 
 
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree across the mesh."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    return jax.tree.map(lambda x: _put(x, mesh, P()), tree)
+
+
+def pad_channels(
+    data: TrialSet, params: Params, multiple: int
+) -> Tuple[TrialSet, Params]:
+    """Pad the channel axis to a multiple of the model-axis mesh size.
+
+    Padded channels are *exactly inert*: their observations and regressors
+    are zero and their loading column is zero, so they contribute nothing
+    to any posterior contraction (``s = einsum(residual, a)``,
+    ``w = U (a*a)'`` — models/vlgp.py); marked Gaussian, their M-step
+    closed form re-derives a zero loading/bias from the zero data every
+    iteration (self-pinning), and the zero-variance noise they accumulate
+    is made division-safe by ``_safe_noise``.  This frees the mesh's model
+    axis from having to divide the real channel count (VERDICT-r1 weak #8).
+    """
+    y = data.ydim
+    target = -(-y // multiple) * multiple
+    if target == y:
+        return data, params
+    pad = target - y
+
+    def padlast(x):
+        pads = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+        return jax.numpy.asarray(np.pad(np.asarray(x), pads))
+
+    data = data.replace(y=padlast(data.y), x=padlast(data.x))
+    params = params.replace(
+        a=padlast(params.a),
+        b=padlast(params.b),
+        da=padlast(params.da),
+        db=padlast(params.db),
+        # padded noise starts at 1 (harmless; drifts to 0 and is guarded)
+        noise=jax.numpy.concatenate(
+            [params.noise, jax.numpy.ones(pad, params.noise.dtype)]
+        ),
+        poisson=jax.numpy.concatenate(
+            [params.poisson, jax.numpy.zeros(pad, params.poisson.dtype)]
+        ),
     )
+    return data, params
+
+
+def trim_channels(data: TrialSet, params: Params, ydim: int):
+    """Undo :func:`pad_channels` (slice back to the real channel count)."""
+    if data.ydim == ydim:
+        return data, params
+    data = data.replace(y=data.y[..., :ydim], x=data.x[..., :ydim])
+    params = params.replace(
+        a=params.a[:, :ydim], b=params.b[:, :ydim],
+        da=params.da[:, :ydim], db=params.db[:, :ydim],
+        noise=params.noise[:ydim], poisson=params.poisson[:ydim],
+    )
+    return data, params
 
 
 def pad_segments(data: TrialSet, multiple: int) -> TrialSet:

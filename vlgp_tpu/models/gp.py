@@ -280,14 +280,18 @@ def hstep(
     # ~1/eps there) and the objective degenerately rewards omega -> bound.
     wt2 = w_t / (1.0 + eps * w_t)
 
-    def F(log_om):
+    def F(log_om, warmX=None):
         # one fixed-point refinement: posterior covariance at the running
         # omega (factor space, see docstring), then a bounded search over
-        # the candidate kernel; (Z,) -> (Z,)
+        # the candidate kernel; (Z,) -> (Z,).  ``warmX`` chains the Woodbury
+        # inverses across the Aitken sequence: omega moves shrink as the
+        # fixed point converges, so later calls skip most NS iterations
+        # (the residual check in ops/spd.py guards every exit).
         G_om = ichol_gauss_batch(T, jnp.exp(log_om), rank, params.dt)
         G_om = G_om.astype(dtype) * params.sigma[:, None, None]
         A = jnp.einsum("ztr,zst,ztq->zsrq", G_om, wt2, G_om)
-        X = inv_one_plus_psd(A, iters=config.ns_iters + 2)
+        X = inv_one_plus_psd(A, iters=config.ns_iters + 2, warm=warmX,
+                             warm_iters=max(config.ns_warm_iters, 8))
         P = wt2[..., None] * G_om[:, None]  # (Z,S,T,R): diag(w~) G
         Q = jnp.einsum("zstr,zsrq->zstq", P, X)
         AX = jnp.einsum("zsrq,zsqp->zsrp", A, X, precision=hp)
@@ -317,7 +321,7 @@ def hstep(
                 params.dt,
             )
 
-        return _golden_min(obj, lo, hi, config.hyper_iters)
+        return _golden_min(obj, lo, hi, config.hyper_iters), X
 
     # The fixed-point map log_om -> F(log_om) contracts slowly when the
     # posterior was smoothed at the current omega (ratio near 1, so
@@ -325,8 +329,8 @@ def hstep(
     # near-stationary crawl, core trajectory in gp.py:65-97).  Aitken /
     # Steffensen extrapolation jumps to the self-consistent omega:
     x0 = jnp.log(params.omega).astype(dtype)
-    x1 = F(x0)
-    x2 = F(x1)
+    x1, X1 = F(x0)
+    x2, X2 = F(x1, X1)
     d1 = x1 - x0
     d2 = x2 - x1
     denom = d2 - d1
@@ -337,7 +341,7 @@ def hstep(
     x_star = jnp.where(contracting, aitken, x2)
     x_star = jnp.clip(x_star, lo + margin, hi - margin)
     # polish with one more refinement at the extrapolated point
-    log_omega = F(x_star)
+    log_omega, _ = F(x_star, X2)
 
     # reject updates that sit at the search bounds (gp.py:91-92)
     span = hi - lo

@@ -50,13 +50,19 @@ __all__ = ["spd_inverse", "spd_solve", "inv_one_plus_psd"]
 _LANE = 64  # padded matrix side (fits rank<=64; tiles at (8, 128) f32)
 _BB = 32  # matrices per block: each (32,64,64) f32 buffer is 0.5 MB VMEM
 
-# All NS / residual matmuls run at HIGHEST precision.  TPU's DEFAULT matmul
-# precision multiplies in bf16: measured on a v5e, that floors the NS
-# residual at ~8e-2 for benign systems (so every 1e-2 residual check fails)
-# and DIVERGES the iteration outright for lambda_max ≳ 4e3 (resid ~6e18).
-# These matrices are tiny (R<=128) and latency-bound, so full-f32 passes
-# cost little; the bulk (S,T,Y) einsums elsewhere keep the fast default.
-_PREC = lax.Precision.HIGHEST
+# Matmul precision for the NS iteration.  TPU's DEFAULT precision
+# multiplies in bf16: measured on a v5e, that floors the NS residual at
+# ~2.6e-2 for benign systems (so every 1e-2 residual check fails) and
+# DIVERGES the iteration outright for lambda_max ≳ 4e3 (resid -> nan).
+# HIGH (bf16x3 passes) reaches 2e-4 (lambda 1e2) / 9e-3 (lambda 1e4) —
+# inside the 1e-2 tolerance — at half the MXU passes of HIGHEST (6), and
+# the residual-check -> escalate -> exact-Cholesky net (below) covers the
+# pathological tail exactly as before.  The packed kernel is the EM hot
+# loop (~60% of device time at the flagship config), so this is a direct
+# ~2x on its dominant cost.  HIGHEST is kept for the XLA reference path
+# and the final accuracy-critical residual checks outside the kernel.
+_PREC = lax.Precision.HIGH
+_PREC_EXACT = lax.Precision.HIGHEST
 
 
 def _spd_inverse_kernel(a_ref, out_ref):
@@ -101,7 +107,7 @@ def _spd_inverse_kernel(a_ref, out_ref):
         Linv, Linv,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=Linv.dtype,
-        precision=_PREC,
+        precision=_PREC_EXACT,
     )
 
 
@@ -136,7 +142,7 @@ def _spd_inverse_xla(A):
     L = jnp.linalg.cholesky(A)
     eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
     Linv = lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
-    return jnp.einsum("...kr,...kq->...rq", Linv, Linv, precision=_PREC)
+    return jnp.einsum("...kr,...kq->...rq", Linv, Linv, precision=_PREC_EXACT)
 
 
 # Convergence threshold on max|(I+A)X - I| for Newton-Schulz results; a
@@ -256,10 +262,24 @@ def _ns_auto(A, iters, force, warm, warm_iters, allow_packed):
 
         if warm is None:
             return cold_packed()
-        Xw, resid = _ns_packed_pallas(
-            flat, iters=warm_iters, x0=warm.astype(A.dtype).reshape(flat.shape)
+        # Check-first warm start: one residual pass (iters=0) decides
+        # whether the carried inverse is still within tolerance.  The
+        # E-step's weights drift slowly and settle as the posterior
+        # converges, so most sweeps skip the refinement entirely — the
+        # cond makes a converged sweep cost 1 matmul instead of
+        # warm_iters*2 + 1.
+        x0w = warm.astype(A.dtype).reshape(flat.shape)
+        _, resid0 = _ns_packed_pallas(flat, iters=0, x0=x0w, resid_only=True)
+
+        def refine():
+            Xw, resid = _ns_packed_pallas(flat, iters=warm_iters, x0=x0w)
+            return _checked(Xw.reshape(shape), resid, cold_packed)
+
+        return lax.cond(
+            jnp.isfinite(resid0) & (resid0 < _RESID_TOL),
+            lambda: x0w.reshape(shape),
+            refine,
         )
-        return _checked(Xw.reshape(shape), resid, cold_packed)
 
     eye = jnp.eye(R, dtype=A.dtype)
     M = A + eye
@@ -267,7 +287,7 @@ def _ns_auto(A, iters, force, warm, warm_iters, allow_packed):
     def _resid(X):
         MX = jnp.einsum("...rk,...kq->...rq", M, X,
                         preferred_element_type=jnp.float32,
-                        precision=_PREC)
+                        precision=_PREC_EXACT)
         return jnp.max(jnp.abs(MX - eye))
 
     def cold():
@@ -331,43 +351,62 @@ def spd_solve(A, b):
 
 
 def _make_ns_packed_kernel(R: int, gpt: int, tiles: int, iters: int,
-                           use_x0: bool):
+                           use_x0: bool, B: int, resid_only: bool = False):
     RP = 128
 
     def body(a_ref, x0_ref, out_ref, resid_ref, mp_ref, xp_ref):
         # a_ref: (tiles * gpt, R, R) f32; scratch mp/xp: (tiles, 128, 128)
         A = a_ref[:].reshape(tiles, gpt, R, R)
         eyeR = jnp.eye(R, dtype=A.dtype)
-        M = A + eyeR  # (tiles, gpt, R, R)
+        # tail-block masking: the grid is cdiv(B, per_block), so the last
+        # block reads past the array (undefined values).  Invalid slots get
+        # M = I (and X0 = I), for which the NS fixed point is exactly I —
+        # zero residual contribution, no host-side padding round-trips.
+        pid = pl.program_id(0)
+        tvec = lax.broadcasted_iota(jnp.int32, (tiles, 1, 1), 0)  # tile ids
+        base = pid * (tiles * gpt)
+        if use_x0:
+            X0 = x0_ref[:].reshape(tiles, gpt, R, R)
 
         mp_ref[:] = jnp.zeros((tiles, RP, RP), A.dtype)
         xp_ref[:] = jnp.zeros((tiles, RP, RP), A.dtype)
-        if use_x0:
-            X0 = x0_ref[:].reshape(tiles, gpt, R, R)
-        else:
-            # per-matrix scaled-identity start: c = 2 / (1 + rowsum bound)
-            lhat = jnp.max(jnp.sum(jnp.abs(M), axis=-1), axis=-1)
-            c = 2.0 / (1.0 + lhat)  # (tiles, gpt)
         for g in range(gpt):
             lo = g * R
-            mp_ref[:, lo : lo + R, lo : lo + R] = M[:, g]
+            valid_g = (base + tvec * gpt + g) < B  # (tiles, 1, 1)
+            Mg = jnp.where(valid_g, A[:, g] + eyeR, eyeR)
+            mp_ref[:, lo : lo + R, lo : lo + R] = Mg
             if use_x0:
-                xp_ref[:, lo : lo + R, lo : lo + R] = X0[:, g]
-            else:
-                c_g = jnp.expand_dims(
-                    lax.index_in_dim(c, g, 1, keepdims=False), (1, 2)
+                xp_ref[:, lo : lo + R, lo : lo + R] = jnp.where(
+                    valid_g, X0[:, g], eyeR
                 )
-                xp_ref[:, lo : lo + R, lo : lo + R] = c_g * eyeR
+            else:
+                # per-matrix scaled-identity start: c = 2/(1 + rowsum bound)
+                lhat = jnp.max(jnp.sum(jnp.abs(Mg), axis=-1), axis=-1)
+                c = (2.0 / (1.0 + lhat))[:, None, None]  # (tiles, 1, 1)
+                xp_ref[:, lo : lo + R, lo : lo + R] = c * eyeR
 
         eyeP = jnp.eye(RP, dtype=A.dtype)
 
-        def matmul(P, Q):
+        def _dot(P, Q):
             return jax.lax.dot_general(
                 P, Q,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-                precision=_PREC,
             )
+
+        def _split(x):
+            hi = x.astype(jnp.bfloat16)
+            return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def matmul(P, Q):
+            # bf16x3 (= XLA Precision.HIGH, which Mosaic doesn't expose):
+            # three bf16 MXU passes instead of HIGHEST's six.  Measured NS
+            # residual floor 2e-4 (lambda 1e2) / 9e-3 (lambda 1e4), inside
+            # the 1e-2 tolerance; the residual check below still guards
+            # every exit.
+            ph, pl_ = _split(P)
+            qh, ql = _split(Q)
+            return _dot(ph, qh) + (_dot(ph, ql) + _dot(pl_, qh))
 
         def ns(_, X):
             MX = matmul(mp_ref[:], X)
@@ -385,11 +424,20 @@ def _make_ns_packed_kernel(R: int, gpt: int, tiles: int, iters: int,
         resid_ref[:] = jnp.where(
             (r3 == 0) & (c3 == 0), jnp.max(resid), 0.0
         ).astype(A.dtype)
-        Xr = jnp.stack(
-            [X[:, g * R : g * R + R, g * R : g * R + R] for g in range(gpt)],
-            axis=1,
-        )  # (tiles, gpt, R, R)
-        out_ref[:] = Xr.reshape(tiles * gpt, R, R)
+        if not resid_only:
+            Xr = jnp.stack(
+                [X[:, g * R : g * R + R, g * R : g * R + R] for g in range(gpt)],
+                axis=1,
+            )  # (tiles, gpt, R, R)
+            out_ref[:] = Xr.reshape(tiles * gpt, R, R)
+
+    if resid_only:
+        # the warm-start convergence probe: no inverse output is written,
+        # so the check pass costs one matmul and no X round-trip
+        def probe(a_ref, x0_ref, resid_ref, mp_ref, xp_ref):
+            return body(a_ref, x0_ref, None, resid_ref, mp_ref, xp_ref)
+
+        return probe
 
     if use_x0:
         return body
@@ -408,54 +456,52 @@ def _packed_geometry(B: int, R: int):
     return gpt, tiles, per_block, BP
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
-def _ns_packed_pallas(A, iters: int = 16, x0=None, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("iters", "interpret", "resid_only")
+)
+def _ns_packed_pallas(A, iters: int = 16, x0=None, interpret: bool = False,
+                      resid_only: bool = False):
     """(I + A)^{-1} for PSD A (B, R, R) f32, R <= 128, via packed NS.
 
     Returns (X, max_residual) with the residual measured as
     max |(I+A)X - I| over all matrices (for the warm-start fallback).
+    With ``resid_only`` (requires x0, iters=0 typical) only the residual of
+    x0 is computed and returned as (None, resid) — one matmul, no X write.
     """
     B, R, _ = A.shape
-    gpt, tiles, per_block, BP = _packed_geometry(B, R)
-    Ap = jnp.zeros((BP, R, R), A.dtype)
-    Ap = Ap.at[:B].set(A)
-    grid = BP // per_block
+    gpt, tiles, per_block, _ = _packed_geometry(B, R)
+    grid = -(-B // per_block)  # cdiv: tail block masked in-kernel
 
-    kernel = _make_ns_packed_kernel(R, gpt, tiles, iters, x0 is not None)
-    out_shape = (
-        jax.ShapeDtypeStruct((BP, R, R), A.dtype),
-        jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32),
-    )
-    in_specs = [
-        pl.BlockSpec((per_block, R, R), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM)
-    ]
-    args = [Ap]
+    kernel = _make_ns_packed_kernel(R, gpt, tiles, iters, x0 is not None, B,
+                                    resid_only=resid_only)
+    resid_shape = jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32)
+    resid_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((per_block, R, R), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if resid_only:
+        out_shape, out_specs = resid_shape, resid_spec
+    else:
+        out_shape = (jax.ShapeDtypeStruct((B, R, R), A.dtype), resid_shape)
+        out_specs = (mat_spec, resid_spec)
+    in_specs = [mat_spec]
+    args = [A]
     if x0 is not None:
-        # pad with identity: padded systems are M = I, for which X = I is
-        # exact (zero-padding would poison the convergence residual)
-        x0p = (jnp.zeros((BP, R, R), A.dtype) + jnp.eye(R, dtype=A.dtype))
-        x0p = x0p.at[:B].set(x0)
-        in_specs.append(
-            pl.BlockSpec((per_block, R, R), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        args.append(x0p)
-    out, resid = pl.pallas_call(
+        in_specs.append(mat_spec)
+        args.append(x0)
+    result = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((per_block, R, R), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((tiles, 128, 128), jnp.float32),
             pltpu.VMEM((tiles, 128, 128), jnp.float32),
         ],
         interpret=interpret,
     )(*args)
-    return out[:B], jnp.max(resid[:, 0, 0])
+    if resid_only:
+        return None, jnp.max(result[:, 0, 0])
+    out, resid = result
+    return out, jnp.max(resid[:, 0, 0])

@@ -52,7 +52,7 @@ def bench_ours(trials, a, iters=10):
 
     from vlgp_tpu.config import default_config, make_params
     from vlgp_tpu.data import cut_trials, pack_trials
-    from vlgp_tpu.models.driver import make_em_step
+    from vlgp_tpu.models.driver import make_em_step, xinv_zeros
     from vlgp_tpu.models.gp import effective_rank, make_cholesky
     from vlgp_tpu.models.vlgp import update_w
 
@@ -67,19 +67,20 @@ def bench_ours(trials, a, iters=10):
                    effective_rank(seg.nbin, config.omega_bound[1], 1.0))
     G = make_cholesky(seg.nbin, params, rank=seg_rank)
     seg = update_w(seg, params, config)
-    em = jax.jit(make_em_step(config))
+    em = jax.jit(make_em_step(config, carry_xinv=True))
 
     # warmup/compile; the trailing host readback (not just
     # block_until_ready) forces the device timeline to drain — necessary on
     # remote-attached devices where blocking can return early
-    d, p, g, _ = em(seg, params, G)
+    xv0 = xinv_zeros(seg, G)
+    d, p, g, _, xv = em(seg, params, G, xv0)
     float(jnp.sum(p.a))
 
     def run(n):
         t0 = time.perf_counter()
-        dd, pp, gg = d, p, g
+        dd, pp, gg, xx = d, p, g, xv
         for _ in range(n):
-            dd, pp, gg, _ = em(dd, pp, gg)
+            dd, pp, gg, _, xx = em(dd, pp, gg, xx)
         checksum = float(jnp.sum(pp.a)) + float(jnp.sum(dd.mu))
         assert np.isfinite(checksum)
         return (time.perf_counter() - t0) / n

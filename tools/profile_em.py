@@ -27,7 +27,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from bench import make_workload, NTRIAL, LENGTH, YDIM, ZDIM  # noqa: E402
 from vlgp_tpu.config import default_config, make_params  # noqa: E402
 from vlgp_tpu.data import cut_trials, pack_trials  # noqa: E402
-from vlgp_tpu.models.driver import make_em_step  # noqa: E402
+from vlgp_tpu.models.driver import make_em_step, xinv_zeros  # noqa: E402
 from vlgp_tpu.models.gp import effective_rank, make_cholesky  # noqa: E402
 from vlgp_tpu.models.vlgp import update_w  # noqa: E402
 
@@ -72,9 +72,10 @@ def main():
     args = ap.parse_args()
 
     seg, params, G, config = setup()
-    em = jax.jit(make_em_step(config))
+    em = jax.jit(make_em_step(config, carry_xinv=True))
 
-    lowered = em.lower(seg, params, G)
+    xv0 = xinv_zeros(seg, G)
+    lowered = em.lower(seg, params, G, xv0)
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
@@ -83,22 +84,22 @@ def main():
     hbm_bytes = cost.get("bytes accessed", float("nan"))
 
     # warm up
-    d, p, g, _ = em(seg, params, G)
+    d, p, g, _, xv = em(seg, params, G, xv0)
     float(jnp.sum(p.a))
 
     # timed run (chained, one readback)
     t0 = time.perf_counter()
-    dd, pp, gg = d, p, g
+    dd, pp, gg, xx = d, p, g, xv
     for _ in range(args.iters):
-        dd, pp, gg, _ = em(dd, pp, gg)
+        dd, pp, gg, _, xx = em(dd, pp, gg, xx)
     float(jnp.sum(pp.a)) + float(jnp.sum(dd.mu))
     per_iter = (time.perf_counter() - t0) / args.iters
 
     # traced run
     with jax.profiler.trace(args.outdir):
-        dd, pp, gg = d, p, g
+        dd, pp, gg, xx = d, p, g, xv
         for _ in range(2):
-            dd, pp, gg, _ = em(dd, pp, gg)
+            dd, pp, gg, _, xx = em(dd, pp, gg, xx)
         float(jnp.sum(pp.a))
 
     print(f"per-EM-iter: {per_iter*1e3:.1f} ms  ({1/per_iter:.3f} it/s)")

@@ -38,18 +38,29 @@ from .vlgp import (
 __all__ = ["vem", "infer", "make_em_step"]
 
 
-def make_em_step(config: Config, dist: Dist = Dist()) -> Callable:
+def make_em_step(config: Config, dist: Dist = Dist(),
+                 carry_xinv: bool = False) -> Callable:
     """Build a fused single-EM-iteration function.
 
     (data, params, G) -> (data, params, G, norms) with ``norms`` holding the
     squared norms for the convergence test (pre-step mu/a/b, post-step
     dmu/da/db — matching core.py:300-305 and core.py:350-354).
+
+    With ``carry_xinv`` the step takes and returns an extra (Z, S, R, R)
+    operand: the E-step's final Woodbury inverses, which warm-start the next
+    iteration's first sweep (initialize with zeros — the residual probe
+    routes a useless carry to the cold start).  This removes the one
+    remaining cold Newton-Schulz solve per EM iteration.
     """
 
-    def em_step(data: TrialSet, params: Params, G: jnp.ndarray):
+    def em_step(data: TrialSet, params: Params, G: jnp.ndarray, xinv=None):
         pre = em_norms(data, params, dist)
         data, params = constrain_loading(data, params, config, dist)
-        data = estep(data, params, G, config, dist=dist)
+        if carry_xinv:
+            data, xinv = estep(data, params, G, config, dist=dist,
+                               xinv=xinv, return_xinv=True)
+        else:
+            data = estep(data, params, G, config, dist=dist)
         data, params = constrain_latent(data, params, config, dist)
         params = mstep(data, params, config, dist=dist)
         if config.Hstep:
@@ -60,9 +71,17 @@ def make_em_step(config: Config, dist: Dist = Dist()) -> Callable:
             mu=pre["mu"], a=pre["a"], b=pre["b"],
             dmu=post["dmu"], da=post["da"], db=post["db"],
         )
+        if carry_xinv:
+            return data, params, G, norms, xinv
         return data, params, G, norms
 
     return em_step
+
+
+def xinv_zeros(data: TrialSet, G: jnp.ndarray) -> jnp.ndarray:
+    """Initial (useless) inverse carry for a ``carry_xinv=True`` EM step."""
+    Z, _, R = G.shape
+    return jnp.zeros((Z, data.ntrial, R, R), data.mu.dtype)
 
 
 @functools.lru_cache(maxsize=32)
@@ -76,11 +95,11 @@ def _vem_phases(config: Config, T: int):
     """
 
     @jax.jit
-    def phase_e(d, p, g):
+    def phase_e(d, p, g, xv):
         n0 = em_norms(d, p)
         d, p = constrain_loading(d, p, config)
-        d = estep(d, p, g, config)
-        return d, p, n0
+        d, xv = estep(d, p, g, config, xinv=xv, return_xinv=True)
+        return d, p, n0, xv
 
     @jax.jit
     def phase_m(d, p):
@@ -104,7 +123,7 @@ def _vem_phases(config: Config, T: int):
 
 @functools.lru_cache(maxsize=32)
 def _fused_em_jit(config: Config):
-    return jax.jit(make_em_step(config))
+    return jax.jit(make_em_step(config, carry_xinv=True))
 
 
 @functools.lru_cache(maxsize=64)
@@ -150,13 +169,14 @@ def vem(
     phase_e, phase_m, phase_h, phase_norms = _vem_phases(config, data.nbin)
 
     runtime = {"it": 0, "e_elapsed": [], "m_elapsed": [], "h_elapsed": [], "em_elapsed": []}
+    xinv = xinv_zeros(data, G)
 
     for it in range(config.max_iter):
         runtime["it"] += 1
         tic_em = time.perf_counter()
 
         tic = time.perf_counter()
-        data, params, pre = phase_e(data, params, G)
+        data, params, pre, xinv = phase_e(data, params, G, xinv)
         jax.block_until_ready(data.mu)
         runtime["e_elapsed"].append(time.perf_counter() - tic)
 
@@ -200,10 +220,11 @@ def _vem_fused(data, params, G, config, callbacks, verbose):
     em = _fused_em_jit(config)
     runtime = {"it": 0, "e_elapsed": [], "m_elapsed": [], "h_elapsed": [],
                "em_elapsed": []}
+    xinv = xinv_zeros(data, G)
     for it in range(config.max_iter):
         runtime["it"] += 1
         tic = time.perf_counter()
-        data, params, G, norms = em(data, params, G)
+        data, params, G, norms, xinv = em(data, params, G, xinv)
         norms = {k: float(v) for k, v in norms.items()}
         runtime["em_elapsed"].append(time.perf_counter() - tic)
         if verbose:

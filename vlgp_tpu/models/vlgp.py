@@ -158,17 +158,24 @@ def _marginal_variance(G, wmz, eps, iters: int = 16):
 
 def estep(
     data: TrialSet, params: Params, G: jnp.ndarray, config: Config,
-    niter: Optional[int] = None, dist: Dist = Dist()
-) -> TrialSet:
+    niter: Optional[int] = None, dist: Dist = Dist(),
+    xinv: Optional[jnp.ndarray] = None, return_xinv: bool = False,
+):
     """E-step: Eniter Newton sweeps over all segments and latents.
 
     Reference: ``infer_single_trial`` (core.py:22-126).  The per-latent
     coordinate loop is batched (the reference's sweep reads only the
     pre-sweep residual, so batching is exact, not an approximation).
+
+    ``xinv`` optionally warm-starts the first sweep's Woodbury inverse
+    (Z, S, R, R) — e.g. the previous EM iteration's carried inverse; pass
+    zeros when none exists (the residual probe then routes to the cold
+    start).  With ``return_xinv`` the final sweep's inverse is returned as
+    ``(data, xinv)`` for the next iteration to carry.
     """
     niter = config.Eniter if niter is None else niter
     if niter < 1:
-        return data
+        return (data, xinv) if return_xinv else data
 
     y, x, mask = data.y, data.x, data.mask
     xb = _xb(x, params.b)
@@ -203,12 +210,14 @@ def estep(
 
     muz = _zmajor(data.mu)
     wz = _zmajor(data.w) * maskz
-    X0 = _woodbury_inverse(G, wz, iters=config.ns_iters)
+    X0 = _woodbury_inverse(G, wz, iters=config.ns_iters, warm=xinv,
+                           warm_iters=config.ns_warm_iters)
     init = (muz, wz, _zmajor(data.v), _zmajor(data.dmu), X0)
-    muz, wz, vz, dmuz, _ = lax.fori_loop(0, niter, sweep, init)
-    return data.replace(
+    muz, wz, vz, dmuz, X = lax.fori_loop(0, niter, sweep, init)
+    out = data.replace(
         mu=_zminor(muz), w=_zminor(wz), v=_zminor(vz), dmu=_zminor(dmuz)
     )
+    return (out, X) if return_xinv else out
 
 
 def update_w(data: TrialSet, params: Params, config: Config, dist: Dist = Dist()) -> TrialSet:

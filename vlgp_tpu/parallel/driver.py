@@ -87,10 +87,21 @@ def fit_sharded(
     step = sharded_em_step(mesh, config, segments, params_r)
     runtime = {"it": 0, "em_elapsed": []}
     params = params_r
+    from jax.sharding import PartitionSpec as P
+
+    from .mesh import _put
+
+    xinv = _put(
+        np.zeros((n_factors, segments.ntrial, G_seg.shape[-1],
+                  G_seg.shape[-1]), segments.mu.dtype),
+        mesh, P(None, "data", None, None),
+    )
     for it in range(config.max_iter):
         runtime["it"] += 1
         tic = time.perf_counter()
-        segments, params, G_seg, norms = step(segments, params, G_seg)
+        segments, params, G_seg, norms, xinv = step(
+            segments, params, G_seg, xinv
+        )
         norms = {k: float(v) for k, v in norms.items()}
         runtime["em_elapsed"].append(time.perf_counter() - tic)
         if verbose:

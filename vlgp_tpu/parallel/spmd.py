@@ -36,15 +36,17 @@ def sharded_em_step(mesh: Mesh, config: Config, data: TrialSet, params: Params):
     fields ride the treedef, so specs are built per-instance).
     Returns a function (data, params, G) -> (data, params, G, norms).
     """
-    em = make_em_step(config, DIST)
+    em = make_em_step(config, DIST, carry_xinv=True)
     dspec = data_specs(data)
     pspec = params_specs(params)
     norm_spec = {k: P() for k in ("mu", "dmu", "a", "da", "b", "db")}
+    # the carried Woodbury inverse is (Z, S, R, R): segments over 'data'
+    xinv_spec = P(None, "data", None, None)
     fn = shard_map(
         em,
         mesh=mesh,
-        in_specs=(dspec, pspec, P()),
-        out_specs=(dspec, pspec, P(), norm_spec),
+        in_specs=(dspec, pspec, P(), xinv_spec),
+        out_specs=(dspec, pspec, P(), norm_spec, xinv_spec),
         check_vma=False,
     )
     return jax.jit(fn)

@@ -52,7 +52,7 @@ def bench_ours(trials, a, iters=10):
 
     from vlgp_tpu.config import default_config, make_params
     from vlgp_tpu.data import cut_trials, pack_trials
-    from vlgp_tpu.models.driver import make_em_step, xinv_zeros
+    from vlgp_tpu.models.driver import _scan_em_jit, make_em_step, xinv_zeros
     from vlgp_tpu.models.gp import effective_rank, make_cholesky
     from vlgp_tpu.models.vlgp import update_w
 
@@ -67,25 +67,26 @@ def bench_ours(trials, a, iters=10):
                    effective_rank(seg.nbin, config.omega_bound[1], 1.0))
     G = make_cholesky(seg.nbin, params, rank=seg_rank)
     seg = update_w(seg, params, config)
-    em = jax.jit(make_em_step(config, carry_xinv=True))
+    # production driver shape: `iters` EM iterations scanned into one
+    # device dispatch (api.fit(fused=True, block=k))
+    em = _scan_em_jit(config, iters)
 
     # warmup/compile; the trailing host readback (not just
     # block_until_ready) forces the device timeline to drain — necessary on
     # remote-attached devices where blocking can return early
     xv0 = xinv_zeros(seg, G)
-    d, p, g, _, xv = em(seg, params, G, xv0)
+    d, p, g, xv, _ = em(seg, params, G, xv0)
     float(jnp.sum(p.a))
 
     def run(n):
+        assert n == iters
         t0 = time.perf_counter()
-        dd, pp, gg, xx = d, p, g, xv
-        for _ in range(n):
-            dd, pp, gg, _, xx = em(dd, pp, gg, xx)
+        dd, pp, gg, _, norms = em(d, p, g, xv)
         checksum = float(jnp.sum(pp.a)) + float(jnp.sum(dd.mu))
         assert np.isfinite(checksum)
         return (time.perf_counter() - t0) / n
 
-    run(2)  # second warmup (cache effects)
+    run(iters)  # second warmup (cache effects)
     return min(run(iters), run(iters))
 
 

@@ -143,3 +143,25 @@ def test_history_filter_fit():
     assert _r2(mu, np.concatenate(zs)) > 0.6
     # learned immediate-history coefficient should be negative (refractory)
     assert np.asarray(res.params.b)[1].mean() < 0
+
+
+def test_fused_scan_block_matches_unfused():
+    """fused=True, block=k runs k EM iterations per dispatch via lax.scan
+    and must produce the same fit as the per-iteration drivers."""
+    import numpy as np
+    import vlgp_tpu
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(2, 12)) * 0.6
+    trials = []
+    for _ in range(4):
+        z = np.column_stack(
+            (np.sin(np.linspace(0, 6, 100)), np.cos(np.linspace(0, 6, 100)))
+        )
+        trials.append({"y": rng.poisson(np.exp(z @ a - 1.5)).astype(float)})
+    kw = dict(dtype="float64", max_iter=6, min_iter=2)
+    r_plain = vlgp_tpu.fit(trials, 2, **kw)
+    r_scan = vlgp_tpu.fit(trials, 2, fused=True, block=3, **kw)
+    assert r_scan.runtime["it"] == r_plain.runtime["it"]
+    assert np.abs(np.asarray(r_plain.params.a) - np.asarray(r_scan.params.a)).max() < 1e-9
+    assert np.abs(np.asarray(r_plain.params.omega) - np.asarray(r_scan.params.omega)).max() < 1e-12

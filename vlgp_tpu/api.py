@@ -146,6 +146,7 @@ def fit(
     callbacks: Sequence[Callable] = (),
     verbose: bool = False,
     fused: bool = False,
+    block: int = 1,
     factor_model: Optional[FactorModel] = None,
     **config_kwargs,
 ) -> FitResult:
@@ -153,7 +154,8 @@ def fit(
 
     trials: list of dicts with ``y`` (length, ydim); optional ``x``, ``mu``.
     Unequal lengths are padded and masked.  ``fused=True`` runs each EM
-    iteration as a single jitted graph (fastest on remote-attached devices).
+    iteration as a single jitted graph (fastest on remote-attached devices);
+    ``block=k`` with ``fused`` scans k iterations per device dispatch.
 
     Passing ``path=...`` snapshots the parameters every
     ``saving_interval`` seconds during VEM and writes a final restorable
@@ -196,7 +198,7 @@ def fit(
     # VEM on segments (api.py:64)
     segments, params, G_seg, runtime = vem(
         segments, params, G_seg, config, callbacks=callbacks, verbose=verbose,
-        fused=fused,
+        fused=fused, block=block,
     )
 
     # write trained posterior back, refresh factors, final full inference

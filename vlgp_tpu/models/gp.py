@@ -20,7 +20,7 @@ from jax import lax
 
 from ..config import Config, Params
 from ..data import TrialSet
-from ..ops.ichol import ichol_gauss_batch
+from ..ops.ichol import ichol_gauss_batch, nystrom_gauss_batch
 from ..ops.spd import inv_one_plus_psd
 from .vlgp import Dist, _psum
 
@@ -66,9 +66,19 @@ def make_cholesky(T: int, params: Params, rank: Optional[int] = None) -> jnp.nda
     """
     rank = params.rank if rank is None else rank
     rank = min(rank, T)
-    G = ichol_gauss_batch(T, params.omega, rank, params.dt)
-    G = G * params.sigma[:, None, None]
-    return G.astype(params.a.dtype)
+    G = _se_factor(T, params.omega, rank, params.dt, params.a.dtype)
+    G = G.astype(params.a.dtype) * params.sigma[:, None, None]
+    return G
+
+
+def _se_factor(T: int, omega, rank: int, dt, dtype):
+    """Batched low-rank SE factor: Nystrom on the f32 hot path when the
+    landmark set is dense enough (rank >= 0.6 T — the window-segment
+    regime), exact sequential pivoted ichol otherwise (f64 oracles,
+    full-length factors).  See ops/ichol.py:nystrom_gauss_batch."""
+    if jnp.dtype(dtype) == jnp.float32 and rank >= 0.6 * T:
+        return nystrom_gauss_batch(T, omega, rank, dt)
+    return ichol_gauss_batch(T, omega, rank, dt)
 
 
 def effective_rank(T: int, omega_hi: float, dt: float = 1.0,
@@ -166,6 +176,12 @@ def _golden_min(f, lo, hi, iters: int):
 
     f must be vectorizable over its scalar argument's batch dims.
     Returns the bracket midpoint after ``iters`` shrinks.
+
+    (A batched k-section variant — k candidates per shrink as one batched
+    Cholesky — was tried and measured 7x SLOWER on TPU: gp_elbo_stats's
+    cost is the (T, T) triangular solves, which scale with the candidate
+    batch, not a latency floor.  Golden section's single fresh candidate
+    per step is the right shape here.)
     """
     phi = 0.6180339887498949
     c = hi - phi * (hi - lo)
@@ -287,7 +303,7 @@ def hstep(
         # inverses across the Aitken sequence: omega moves shrink as the
         # fixed point converges, so later calls skip most NS iterations
         # (the residual check in ops/spd.py guards every exit).
-        G_om = ichol_gauss_batch(T, jnp.exp(log_om), rank, params.dt)
+        G_om = _se_factor(T, jnp.exp(log_om), rank, params.dt, dtype)
         G_om = G_om.astype(dtype) * params.sigma[:, None, None]
         A = jnp.einsum("ztr,zst,ztq->zsrq", G_om, wt2, G_om)
         X = inv_one_plus_psd(A, iters=config.ns_iters + 2, warm=warmX,

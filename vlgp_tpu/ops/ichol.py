@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["ichol_gauss", "ichol_gauss_batch", "ichol"]
+__all__ = ["ichol_gauss", "ichol_gauss_batch", "ichol", "nystrom_gauss_batch"]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -91,6 +91,50 @@ def ichol_gauss_batch(n: int, omega, rank: int, dt: float = 1.0):
     reference factor cache ``params['cholesky'][length]`` (``gp.py:150-162``).
     """
     return jax.vmap(lambda w: ichol_gauss(n, w, rank, dt))(jnp.asarray(omega))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def nystrom_gauss_batch(n: int, omega, rank: int, dt: float = 1.0,
+                        jitter: float = 2e-5):
+    """Low-rank SE-kernel factor via Nystrom with evenly-spaced landmarks:
+    one batched (rank x rank) Cholesky instead of ``rank`` sequential
+    pivot steps.
+
+    For a *stationary* kernel on a *regular grid*, greedy diagonal
+    pivoting (``ichol_gauss``) selects a data-independent, evenly-spread
+    pivot set — so fixed evenly-spaced landmarks J give the same
+    approximation family:  G = K[:, J] chol(K[J, J] + jitter I)^-T, with
+    K ~= G G' (exact on the landmark rows/columns up to jitter).  The
+    E-step consumes the factor only through K = G G' (push-through
+    identity: G (I + G'WG)^-1 G' = K (I + WK)^-1), so the factor choice is
+    semantically free; reconstruction error at the production regime
+    (window 50, rank 40, f32) is ~1e-4 over the omega box — at the f32
+    training path's matmul noise.  The jitter floor is set by TPU's f32
+    blocked Cholesky, which NaNs on the (near-singular) landmark kernel
+    below ~1e-5 (CPU LAPACK survives 1e-8; measured).  ``ichol_gauss``
+    (20+ ms of sequential latency per call on TPU) remains the
+    exact/oracle path and the full-length (rank << n) path, where sparse
+    landmarks underfit.
+
+    omega: (zdim,) -> (zdim, n, rank).
+    """
+    import numpy as np
+
+    omega = jnp.asarray(omega)
+    dtype = jnp.result_type(omega.dtype, jnp.float32)
+    rank = min(rank, n)
+    J = (np.arange(rank) * n) // rank  # distinct, evenly spaced
+    x = jnp.arange(n, dtype=dtype) * dt
+    xJ = x[jnp.asarray(J)]
+    om = omega.astype(dtype)[:, None, None]
+    K_nJ = jnp.exp(-om * (x[:, None] - xJ[None, :]) ** 2)  # (Z, n, R)
+    K_JJ = jnp.exp(-om * (xJ[:, None] - xJ[None, :]) ** 2)  # (Z, R, R)
+    eye = jnp.eye(rank, dtype=dtype)
+    L = jnp.linalg.cholesky(K_JJ + jitter * eye)
+    # G = K_nJ L^{-T}  (right triangular solve, batched)
+    return lax.linalg.triangular_solve(
+        L, K_nJ, left_side=False, lower=True, transpose_a=True
+    )
 
 
 def ichol(A, rank: int | None = None, tol: float = 1e-10):

@@ -48,21 +48,40 @@ def setup():
     return seg, params, G, config
 
 
-def top_ops_from_trace(logdir: str, k: int = 15):
-    """Parse the xplane trace into (op name, self time us) rows."""
-    try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data
-    except Exception as e:  # pragma: no cover
-        print(f"(trace parsing unavailable: {e})")
-        return None
-    xplanes = sorted(glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True))
-    if not xplanes:
-        print("(no xplane files found)")
-        return None
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [xplanes[-1]], "framework_op_stats", {}
-    )
-    return data
+def top_ops_from_trace(logdir: str, k: int = 20):
+    """Aggregate device-op self-times from the Chrome-trace export.
+
+    Returns (rows, device_total_ms) with rows = [(total_ms, count, name)].
+    """
+    import collections
+    import gzip
+
+    files = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
+    if not files:
+        print("(no trace.json.gz found)")
+        return None, None
+    tr = json.loads(gzip.open(files[-1]).read())
+    events = tr["traceEvents"]
+    pids, tids = {}, {}
+    for e in events:
+        if e.get("ph") == "M":
+            if e.get("name") == "process_name":
+                pids[e["pid"]] = e["args"].get("name", "")
+            if e.get("name") == "thread_name":
+                tids[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    agg, cnt = collections.Counter(), collections.Counter()
+    modtot = 0.0
+    for e in events:
+        if e.get("ph") != "X" or not pids.get(e["pid"], "").startswith("/device"):
+            continue
+        tname = tids.get((e["pid"], e.get("tid")))
+        if tname == "XLA Ops":
+            agg[e["name"]] += e.get("dur", 0)
+            cnt[e["name"]] += 1
+        elif tname == "XLA Modules":
+            modtot += e.get("dur", 0)
+    rows = [(d / 1e3, cnt[n], n) for n, d in agg.most_common(k)]
+    return rows, modtot / 1e3
 
 
 def main():
@@ -110,11 +129,36 @@ def main():
     print(f"MFU (vs 98 TF/s f32): {100*mfu:.2f}%   "
           f"HBM BW used: {hbm_bytes/per_iter/1e9:.1f} GB/s (peak ~819)")
 
-    rows = top_ops_from_trace(args.outdir)
+    rows, modtot = top_ops_from_trace(args.outdir)
     if rows:
-        out = pathlib.Path(args.outdir) / "op_stats.json"
-        out.write_text(rows if isinstance(rows, str) else json.dumps(rows))
-        print(f"op stats -> {out}")
+        lines = [
+            "# TRACE — one fused EM step on the real TPU (flagship config)",
+            "",
+            f"Workload: {NTRIAL} trials x {LENGTH} bins x {YDIM} neurons x "
+            f"{ZDIM} latents (2000 window-50 segments), default budget.",
+            "Collected by `python tools/profile_em.py` (jax.profiler trace "
+            "of 2 EM iterations; raw trace under the --outdir).",
+            "",
+            f"- per-EM-iteration wall: {per_iter*1e3:.1f} ms "
+            f"({1/per_iter:.2f} it/s)",
+            f"- device (XLA module) time: {modtot/2:.1f} ms/iter",
+            f"- XLA-counted flops: {flops:.2e}/iter -> MFU "
+            f"{100*flops/per_iter/98e12:.2f}% of 98 TF/s f32 "
+            "(excludes flops inside the Pallas NS kernel; the step is "
+            "latency/bandwidth-bound by design, not FLOP-bound)",
+            f"- HBM bytes: {hbm_bytes:.2e}/iter -> "
+            f"{hbm_bytes/per_iter/1e9:.0f} GB/s of ~819 peak",
+            "",
+            "Top device ops by total self time (2 EM iterations):",
+            "",
+            "| total ms | count | op |",
+            "|---:|---:|---|",
+        ]
+        for ms, c, name in rows:
+            lines.append(f"| {ms:.2f} | {c} | `{name[:70]}` |")
+        out = pathlib.Path(__file__).resolve().parents[1] / "TRACE.md"
+        out.write_text("\n".join(lines) + "\n")
+        print(f"trace summary -> {out}")
 
 
 if __name__ == "__main__":

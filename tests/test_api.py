@@ -183,3 +183,31 @@ def test_fit_path_checkpoints(data, tmp_path):
     restored = load_params(ckpt.with_suffix(".npz"))
     assert np.abs(np.asarray(restored.a) - np.asarray(res.params.a)).max() == 0
     assert np.abs(np.asarray(restored.omega) - np.asarray(res.params.omega)).max() == 0
+
+
+def test_partial_user_mu_fills_missing_trials(data):
+    """ADVICE-r1: when only SOME trials carry a user 'mu', the FA init
+    must still fill the mu-less trials (per-trial, like the reference's
+    preprocess.py:40-41), not be discarded wholesale."""
+    from vlgp_tpu.api import _prepare
+    from vlgp_tpu.config import default_config
+
+    trials, _ = data
+    mixed = [dict(t) for t in trials]
+    rng = np.random.default_rng(5)
+    user = rng.normal(size=(mixed[0]["y"].shape[0], 2))
+    mixed[0]["mu"] = user  # only trial 0 has a user mu
+    d, params, fm = _prepare(mixed, 2, default_config())
+    # trial 0 keeps the user's values; trial 1 gets the FA transform
+    assert np.abs(np.asarray(d.mu[0]) - user).max() < 1e-5
+    assert np.abs(np.asarray(d.mu[1])).max() > 1e-6
+
+
+def test_user_omega_above_bound_fits(data):
+    """ADVICE-r1: a user omega above omega_bound[1] must widen the factor
+    trim rank (not silently truncate) and fit cleanly."""
+    trials, zt = data
+    res = vlgp_tpu.fit(trials, 2, omega=np.full(2, 0.2), Hstep=False,
+                       max_iter=3, min_iter=1)
+    mu = np.concatenate([t["mu"] for t in res.trials])
+    assert np.isfinite(mu).all()

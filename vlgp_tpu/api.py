@@ -97,9 +97,21 @@ def _prepare(
             b = jnp.zeros((xdim, data.ydim), a0.dtype).at[0].set(b0)
         if noise is None:
             noise = noise0
-    has_user_mu = any("mu" in t and t["mu"] is not None for t in trials)
-    if mu is not None and not has_user_mu:
-        data = data.replace(mu=mu.astype(data.mu.dtype))
+    # fill the FA-initialized posterior mean per trial wherever the user
+    # did not supply one (the reference fills mu per trial too,
+    # preprocess.py:40-41; an all-or-nothing gate discarded the FA init
+    # for every trial as soon as one trial carried mu — ADVICE-r1)
+    if mu is not None:
+        user_mu = np.array(
+            ["mu" in t and t["mu"] is not None for t in trials]
+        )
+        if user_mu.any():
+            keep = jnp.asarray(user_mu)[:, None, None]
+            data = data.replace(
+                mu=jnp.where(keep, data.mu, mu.astype(data.mu.dtype))
+            )
+        else:
+            data = data.replace(mu=mu.astype(data.mu.dtype))
 
     if b is not None:
         b = jnp.atleast_2d(jnp.asarray(b))
@@ -187,9 +199,13 @@ def fit(
     # segmentation for training (api.py:56-58); segment factors trimmed to
     # the omega box's effective rank (numerically exact, see gp.effective_rank)
     segments = cut_trials(data, config.window, seed=config.seed)
+    # trim rank for the sharpest kernel that can occur: the omega box top,
+    # or a user-supplied omega above it (ADVICE-r1: a clamped trim there
+    # silently degraded the factor)
+    omega_hi = max(float(jnp.max(params.omega)), config.omega_bound[1])
     seg_rank = min(
         params.rank,
-        effective_rank(segments.nbin, config.omega_bound[1], dt),
+        effective_rank(segments.nbin, omega_hi, dt),
     )
     G_seg = make_cholesky(segments.nbin, params, rank=seg_rank)
 
@@ -248,10 +264,14 @@ def transform(
             config = Config()
 
     data = pack_trials(trials, params.zdim, params.xdim, dtype=np.dtype(config.dtype))
-    if factor_model is not None and not any(
-        "mu" in t and t["mu"] is not None for t in trials
-    ):
+    if factor_model is not None:
         mu = jax.vmap(factor_model.transform)(data.y) * data.mask[..., None]
+        user_mu = np.array(
+            ["mu" in t and t["mu"] is not None for t in trials]
+        )
+        if user_mu.any():
+            keep = jnp.asarray(user_mu)[:, None, None]
+            mu = jnp.where(keep, data.mu, mu)
         data = data.replace(mu=mu.astype(data.mu.dtype))
     G = make_cholesky(data.nbin, params)
     data = update_w(data, params, config)

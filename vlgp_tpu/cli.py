@@ -48,6 +48,13 @@ def main(argv=None) -> int:
     pfit.add_argument("--lik", type=str, default="poisson",
                       choices=["poisson", "gaussian"])
     pfit.add_argument("--dtype", type=str, default="float32")
+    pfit.add_argument("--fused", action="store_true",
+                      help="run each EM iteration as one jitted graph")
+    pfit.add_argument("--block", type=int, default=1,
+                      help="with --fused: scan this many EM iterations "
+                           "per device dispatch")
+    pfit.add_argument("--path", type=str, default=None,
+                      help="periodic parameter snapshots to this path")
     pfit.add_argument("--quiet", action="store_true")
 
     ptr = sub.add_parser("transform", help="infer latents for new trials")
@@ -69,6 +76,9 @@ def main(argv=None) -> int:
             max_iter=args.max_iter,
             min_iter=args.min_iter,
             dtype=args.dtype,
+            fused=args.fused,
+            block=args.block,
+            path=args.path,
             verbose=not args.quiet,
         )
         out = vlgp_tpu.save(result, args.fout)

@@ -65,7 +65,8 @@ def make_em_step(config: Config, dist: Dist = Dist(),
         data, params = constrain_latent(data, params, config, dist)
         params = mstep(data, params, config, dist=dist)
         if config.Hstep:
-            params = hstep(data, params, config, dist, rank=G.shape[-1])
+            params = hstep(data, params, config, dist, rank=G.shape[-1],
+                           xinv=xinv)
             G = make_cholesky(data.nbin, params, rank=G.shape[-1])
         post = em_norms(data, params, dist)
         norms = dict(
@@ -109,9 +110,9 @@ def _vem_phases(config: Config, T: int):
         return d, p
 
     @jax.jit
-    def phase_h(d, p, g):
+    def phase_h(d, p, g, xv):
         if config.Hstep:
-            p = hstep(d, p, config, rank=g.shape[-1])
+            p = hstep(d, p, config, rank=g.shape[-1], xinv=xv)
             g = make_cholesky(T, p, rank=g.shape[-1])
         return p, g
 
@@ -221,7 +222,7 @@ def vem(
         runtime["m_elapsed"].append(time.perf_counter() - tic)
 
         tic = time.perf_counter()
-        params, G = phase_h(data, params, G)
+        params, G = phase_h(data, params, G, xinv)
         jax.block_until_ready(params.omega)
         runtime["h_elapsed"].append(time.perf_counter() - tic)
 

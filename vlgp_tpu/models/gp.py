@@ -236,7 +236,7 @@ def gp_elbo_stats(log_omega, C, nseg, T: int, sigmasq, gp_noise, dt):
 
 def hstep(
     data: TrialSet, params: Params, config: Config, dist: Dist = Dist(),
-    rank: Optional[int] = None,
+    rank: Optional[int] = None, xinv=None,
 ) -> Params:
     """Hyperparameter step: per-latent bounded search on log(omega).
 
@@ -296,7 +296,7 @@ def hstep(
     # ~1/eps there) and the objective degenerately rewards omega -> bound.
     wt2 = w_t / (1.0 + eps * w_t)
 
-    def F(log_om, warmX=None):
+    def F(log_om, warmX=None, warm_probe=True):
         # one fixed-point refinement: posterior covariance at the running
         # omega (factor space, see docstring), then a bounded search over
         # the candidate kernel; (Z,) -> (Z,).  ``warmX`` chains the Woodbury
@@ -307,7 +307,8 @@ def hstep(
         G_om = G_om.astype(dtype) * params.sigma[:, None, None]
         A = jnp.einsum("ztr,zst,ztq->zsrq", G_om, wt2, G_om)
         X = inv_one_plus_psd(A, iters=config.ns_iters + 2, warm=warmX,
-                             warm_iters=max(config.ns_warm_iters, 8))
+                             warm_iters=max(config.ns_warm_iters, 8),
+                             probe=warm_probe)
         P = wt2[..., None] * G_om[:, None]  # (Z,S,T,R): diag(w~) G
         Q = jnp.einsum("zstr,zsrq->zstq", P, X)
         AX = jnp.einsum("zsrq,zsqp->zsrp", A, X, precision=hp)
@@ -345,7 +346,11 @@ def hstep(
     # near-stationary crawl, core trajectory in gp.py:65-97).  Aitken /
     # Steffensen extrapolation jumps to the self-consistent omega:
     x0 = jnp.log(params.omega).astype(dtype)
-    x1, X1 = F(x0)
+    # the E-step's carried inverse warm-starts the first refinement: F's
+    # system at x0 is the E-step's own Woodbury system up to the ridge
+    # fold w -> w/(1 + eps*w) (a ~eps*w relative perturbation), and the
+    # residual probe in ops/spd.py guards the rare case it isn't close
+    x1, X1 = F(x0, xinv, warm_probe=False)
     x2, X2 = F(x1, X1)
     d1 = x1 - x0
     d2 = x2 - x1

@@ -179,7 +179,8 @@ def _ns_sweep(M, X, eye, iters: int):
 
 def inv_one_plus_psd(A, iters: int = 16, force: str | None = None,
                      warm: Optional[jnp.ndarray] = None,
-                     warm_iters: int = 8, allow_packed: bool = True):
+                     warm_iters: int = 8, allow_packed: bool = True,
+                     probe: bool = True):
     """(I + A)^{-1} for PSD A (..., R, R), accelerator-friendly.
 
     On TPU this runs Newton-Schulz iterations — X <- X (2I - M X) with
@@ -209,7 +210,8 @@ def inv_one_plus_psd(A, iters: int = 16, force: str | None = None,
         return xla_path()
 
     def ns_path():
-        return _ns_auto(A, iters, force, warm, warm_iters, allow_packed)
+        return _ns_auto(A, iters, force, warm, warm_iters, allow_packed,
+                        probe)
 
     if force in ("ns", "packed"):
         return ns_path()
@@ -226,7 +228,8 @@ def _checked(X, resid, fallback):
     )
 
 
-def _ns_auto(A, iters, force, warm, warm_iters, allow_packed):
+def _ns_auto(A, iters, force, warm, warm_iters, allow_packed,
+             probe=True):
     """Newton-Schulz (I+A)^{-1}, residual-checked at every exit.
 
     Cold starts escalate: ``iters`` more refinements if the first pass
@@ -267,14 +270,22 @@ def _ns_auto(A, iters, force, warm, warm_iters, allow_packed):
         # E-step's weights drift slowly and settle as the posterior
         # converges, so most sweeps skip the refinement entirely — the
         # cond makes a converged sweep cost 1 matmul instead of
-        # warm_iters*2 + 1.
+        # warm_iters*2 + 1.  ``probe=False`` skips the check and always
+        # refines: for warm starts from a *different* (nearby) system —
+        # e.g. the H-step reusing the E-step's carried inverse across the
+        # ridge fold — a probe-accepted inverse can sit just under the
+        # tolerance systematically, where the unconditional refinement
+        # restores the same precision floor as a cold start at half the
+        # passes.
         x0w = warm.astype(A.dtype).reshape(flat.shape)
-        _, resid0 = _ns_packed_pallas(flat, iters=0, x0=x0w, resid_only=True)
 
         def refine():
             Xw, resid = _ns_packed_pallas(flat, iters=warm_iters, x0=x0w)
             return _checked(Xw.reshape(shape), resid, cold_packed)
 
+        if not probe:
+            return refine()
+        _, resid0 = _ns_packed_pallas(flat, iters=0, x0=x0w, resid_only=True)
         return lax.cond(
             jnp.isfinite(resid0) & (resid0 < _RESID_TOL),
             lambda: x0w.reshape(shape),

@@ -27,7 +27,9 @@ def test_graft_entry_script():
         text=True,
         cwd=REPO,
         env=env,
-        timeout=580,
+        # generous: TPU recompiles through the tunnel take minutes, and
+        # the full suite's 8-device CPU tests contend for the host
+        timeout=1200,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "entry ok" in proc.stdout

@@ -54,6 +54,19 @@ class FitResult:
         raise KeyError(key)
 
 
+
+def _fill_missing_mu(data: TrialSet, trials, mu) -> TrialSet:
+    """Merge an initializer's posterior means into ``data`` per trial,
+    keeping any trial's user-supplied ``mu`` (preprocess.py:40-41 fills per
+    trial too; an all-or-nothing gate was ADVICE-r1)."""
+    user_mu = np.array(["mu" in t and t["mu"] is not None for t in trials])
+    mu = mu.astype(data.mu.dtype)
+    if user_mu.any():
+        keep = jnp.asarray(user_mu)[:, None, None]
+        mu = jnp.where(keep, data.mu, mu)
+    return data.replace(mu=mu)
+
+
 def _prepare(
     trials: Sequence[dict],
     n_factors: int,
@@ -97,21 +110,8 @@ def _prepare(
             b = jnp.zeros((xdim, data.ydim), a0.dtype).at[0].set(b0)
         if noise is None:
             noise = noise0
-    # fill the FA-initialized posterior mean per trial wherever the user
-    # did not supply one (the reference fills mu per trial too,
-    # preprocess.py:40-41; an all-or-nothing gate discarded the FA init
-    # for every trial as soon as one trial carried mu — ADVICE-r1)
     if mu is not None:
-        user_mu = np.array(
-            ["mu" in t and t["mu"] is not None for t in trials]
-        )
-        if user_mu.any():
-            keep = jnp.asarray(user_mu)[:, None, None]
-            data = data.replace(
-                mu=jnp.where(keep, data.mu, mu.astype(data.mu.dtype))
-            )
-        else:
-            data = data.replace(mu=mu.astype(data.mu.dtype))
+        data = _fill_missing_mu(data, trials, mu)
 
     if b is not None:
         b = jnp.atleast_2d(jnp.asarray(b))
@@ -266,13 +266,7 @@ def transform(
     data = pack_trials(trials, params.zdim, params.xdim, dtype=np.dtype(config.dtype))
     if factor_model is not None:
         mu = jax.vmap(factor_model.transform)(data.y) * data.mask[..., None]
-        user_mu = np.array(
-            ["mu" in t and t["mu"] is not None for t in trials]
-        )
-        if user_mu.any():
-            keep = jnp.asarray(user_mu)[:, None, None]
-            mu = jnp.where(keep, data.mu, mu)
-        data = data.replace(mu=mu.astype(data.mu.dtype))
+        data = _fill_missing_mu(data, trials, mu)
     G = make_cholesky(data.nbin, params)
     data = update_w(data, params, config)
     data = update_v(data, params, G, config)
@@ -373,8 +367,8 @@ def resume(result: FitResult, **config_kwargs) -> FitResult:
     config = result.config if not config_kwargs else result.config.replace(**config_kwargs)
     data, params, G = result.data, result.params, result.G
     data = infer(data, params, G, config)
-    from .models.driver import _mstep_jit
+    from .models.driver import _jit_key, _mstep_jit
 
-    params = _mstep_jit(config)(data, params)
+    params = _mstep_jit(_jit_key(config))(data, params)
     data = infer(data, params, G, config)
     return dataclasses.replace(result, data=data, params=params, config=config)

@@ -115,7 +115,9 @@ def leave_one_neuron_out(
         mu=jnp.zeros_like(data.mu), w=jnp.zeros_like(data.w),
         v=jnp.zeros_like(data.v), dmu=jnp.zeros_like(data.dmu),
     )
-    score_one = _lono_scorer(config, ydim)
+    from .models.driver import _jit_key
+
+    score_one = _lono_scorer(_jit_key(config), ydim)
     return {int(n): float(score_one(jnp.asarray(n), d0, params, G))
             for n in neurons}
 

@@ -86,6 +86,14 @@ def xinv_zeros(data: TrialSet, G: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros((Z, data.ntrial, R, R), data.mu.dtype)
 
 
+def _jit_key(config: Config) -> Config:
+    """Strip host-only fields (checkpoint path/interval, PRNG seed) so jit
+    caches don't miss — and, worse, evict live entries — across seed sweeps
+    or per-run checkpoint paths.  None of these fields enters a traced
+    graph."""
+    return config.replace(path=None, saving_interval=1800.0, seed=0)
+
+
 @functools.lru_cache(maxsize=32)
 def _vem_phases(config: Config, T: int):
     """Jitted VEM phase functions, cached on (static config, trial length).
@@ -198,11 +206,11 @@ def vem(
     behavior for the default ``min_iter=5`` when k divides it.
     Returns (data, params, G, runtime).
     """
-    if fused and block > 1:
+    if block > 1:  # scanning implies the fused step
         return _vem_scan(data, params, G, config, callbacks, verbose, block)
     if fused:
         return _vem_fused(data, params, G, config, callbacks, verbose)
-    phase_e, phase_m, phase_h, phase_norms = _vem_phases(config, data.nbin)
+    phase_e, phase_m, phase_h, phase_norms = _vem_phases(_jit_key(config), data.nbin)
 
     runtime = {"it": 0, "e_elapsed": [], "m_elapsed": [], "h_elapsed": [], "em_elapsed": []}
     xinv = xinv_zeros(data, G)
@@ -253,7 +261,7 @@ def vem(
 
 
 def _vem_fused(data, params, G, config, callbacks, verbose):
-    em = _fused_em_jit(config)
+    em = _fused_em_jit(_jit_key(config))
     runtime = {"it": 0, "e_elapsed": [], "m_elapsed": [], "h_elapsed": [],
                "em_elapsed": []}
     xinv = xinv_zeros(data, G)
@@ -280,11 +288,11 @@ def _vem_scan(data, params, G, config, callbacks, verbose, block):
     runtime = {"it": 0, "e_elapsed": [], "m_elapsed": [], "h_elapsed": [],
                "em_elapsed": []}
     xinv = xinv_zeros(data, G)
-    run = _scan_em_jit(config, block)
+    run = _scan_em_jit(_jit_key(config), block)
     done = False
     while runtime["it"] < config.max_iter and not done:
         k = min(block, config.max_iter - runtime["it"])
-        step = run if k == block else _scan_em_jit(config, k)
+        step = run if k == block else _scan_em_jit(_jit_key(config), k)
         tic = time.perf_counter()
         data, params, G, xinv, norms_k = step(data, params, G, xinv)
         norms_k = {key: list(map(float, v)) for key, v in norms_k.items()}
@@ -318,4 +326,4 @@ def infer(
     (core.py:260-266, which temporarily rebinds Eniter).  The jitted
     callable is cached on (config, dist): repeated ``transform``/CV calls
     at the same shapes compile once."""
-    return _infer_jit(config, config.max_iter, dist)(data, params, G)
+    return _infer_jit(_jit_key(config), config.max_iter, dist)(data, params, G)

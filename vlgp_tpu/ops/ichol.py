@@ -107,14 +107,19 @@ def nystrom_gauss_batch(n: int, omega, rank: int, dt: float = 1.0,
     K ~= G G' (exact on the landmark rows/columns up to jitter).  The
     E-step consumes the factor only through K = G G' (push-through
     identity: G (I + G'WG)^-1 G' = K (I + WK)^-1), so the factor choice is
-    semantically free; reconstruction error at the production regime
-    (window 50, rank 40, f32) is ~1e-4 over the omega box — at the f32
-    training path's matmul noise.  The jitter floor is set by TPU's f32
-    blocked Cholesky, which NaNs on the (near-singular) landmark kernel
-    below ~1e-5 (CPU LAPACK survives 1e-8; measured).  ``ichol_gauss``
-    (20+ ms of sequential latency per call on TPU) remains the
-    exact/oracle path and the full-length (rank << n) path, where sparse
-    landmarks underfit.
+    semantically free.  Measured reconstruction error at the production
+    regime (window 50, rank 40, f32, jitter 2e-5): ~1e-4 through the
+    middle of the omega box, rising to ~1.7e-3 * sigma^2 at the box top
+    omega = 5e-2 (ichol at the same rank: ~1e-6) — the trimmed rank is
+    tight exactly where the kernel is sharpest.  End-to-end this is below
+    the fit's noise floor: forcing ichol on the same f32 workload moves
+    lstsq-aligned recovery R^2 by < 0.001 (measured, round 2), because
+    the E-step's own weights carry ~1e-2-scale bf16 einsum noise.  The
+    jitter floor is set by TPU's f32 blocked Cholesky, which NaNs on the
+    (near-singular) landmark kernel below ~1e-5 (CPU LAPACK survives
+    1e-8; measured).  ``ichol_gauss`` (20+ ms of sequential latency per
+    call on TPU) remains the exact/oracle path and the full-length
+    (rank << n) path, where sparse landmarks underfit.
 
     omega: (zdim,) -> (zdim, n, rank).
     """

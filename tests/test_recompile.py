@@ -80,3 +80,15 @@ def test_repeated_fit_reuses_executables(fitted):
     with count_compiles() as second:
         vlgp_tpu.fit(trials, 2, max_iter=3, min_iter=1)
     assert second.count == 0, second.count
+
+
+def test_seed_sweep_and_checkpoint_path_reuse_executables(fitted, tmp_path):
+    """Host-only Config fields (seed, path, saving_interval) are stripped
+    from the jit-cache keys: a seed sweep or per-run checkpoint path must
+    not recompile any phase (review-r2)."""
+    trials, _ = fitted
+    with count_compiles() as c:
+        vlgp_tpu.fit(trials, 2, max_iter=3, min_iter=1, seed=123)
+        vlgp_tpu.fit(trials, 2, max_iter=3, min_iter=1, seed=456,
+                     path=str(tmp_path / "snap"), saving_interval=9.0)
+    assert c.count == 0, c.count

@@ -88,15 +88,21 @@ def initialize(data, zdim: int, key, *, eps: float = 1e-8, subsample_frac: float
     data: :class:`~vlgp_tpu.data.TrialSet`.
     Returns (fm, a, b, noise, mu) with mu of shape (N, T, zdim).
     """
-    y = data.y.reshape(-1, data.ydim)
-    mask = data.mask.reshape(-1)
+    # the gather stays entirely ON DEVICE (jnp.take with a device index):
+    # numpy-data[device-index] mixed indexing forces an eager device->host
+    # readback of the index, which on a remote-attached device lands the
+    # process's one-time readback-channel stall (minutes, measured) in the
+    # middle of initialization.  Keeping everything device-side defers any
+    # readback to where the driver already amortizes it.
+    y = jnp.asarray(data.y).reshape(-1, data.ydim)
+    mask = jnp.asarray(data.mask).reshape(-1)
     nvalid = y.shape[0]
     k = max(int(nvalid * subsample_frac) // 1, min_subsample)
     k = min(k, nvalid)
     # sample valid rows with replacement, weighted by the mask
     p = mask / jnp.sum(mask)
     idx = jax.random.choice(key, nvalid, shape=(k,), replace=True, p=p)
-    ysub = y[idx]
+    ysub = jnp.take(y, idx, axis=0)
 
     fm = fit_factor_analysis(ysub, zdim, n_iter=fa_iters)
 

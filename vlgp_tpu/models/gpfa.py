@@ -80,6 +80,14 @@ def em_step(y, C, d, Rdiag, K):
     return z, C, d, Rdiag
 
 
+# ONE module-level jitted step: a fresh `jax.jit(em_step)` per `em()` call
+# would carry a fresh executable cache each time, recompiling every
+# invocation at the same shapes — the exact hotspot _vem_phases fixed for
+# the VEM path (models/driver.py:97-105).  CV sweeps call `em` once per
+# candidate factor count per fold, so this matters.
+_em_step_jit = jax.jit(em_step)
+
+
 def em(y, C, d, R, K, max_iter: int):
     """GPFA EM loop (gpfa.py:20-56).
 
@@ -88,10 +96,9 @@ def em(y, C, d, R, K, max_iter: int):
     """
     y = jnp.asarray(y)
     Rdiag = jnp.diagonal(R) if jnp.ndim(R) == 2 else jnp.asarray(R)
-    step = jax.jit(em_step)
     z = None
     for _ in range(max_iter):
-        z, C, d, Rdiag = step(y, C, d, Rdiag, K)
+        z, C, d, Rdiag = _em_step_jit(y, C, d, Rdiag, K)
     return z, C, d, Rdiag
 
 

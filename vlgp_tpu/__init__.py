@@ -18,7 +18,7 @@ from .config import Config, Params, default_config, make_params
 from .data import TrialSet, cut_trials, pack_trials, unpack_trials
 from . import evaluation, model_selection, simulation
 from .models import gpfa
-from .utils.io import load, save
+from .utils.io import load, load_reference, load_reference_trials, save
 
 __all__ = [
     "fit",
@@ -38,6 +38,8 @@ __all__ = [
     "unpack_trials",
     "save",
     "load",
+    "load_reference",
+    "load_reference_trials",
     "gpfa",
     "simulation",
     "evaluation",

@@ -24,13 +24,23 @@ def _load_trials(path: str):
             (k for k in z.files if k.startswith("y")),
             key=lambda k: int(k[1:]) if k[1:].isdigit() else 0,
         )
-        if keys:
+        if keys and all(np.asarray(z[k]).ndim == 2 for k in keys):
             return [{"y": np.asarray(z[k])} for k in keys]
-        raise SystemExit(f"no trial arrays found in {path} (expected 'y' or 'y0..')")
-    arr = np.asarray(z)
-    if arr.ndim == 3:
-        return [{"y": y} for y in arr]
-    raise SystemExit(f"unsupported input shape {arr.shape}")
+    else:
+        arr = np.asarray(z)
+        if arr.ndim == 3 and arr.dtype != object:
+            return [{"y": y} for y in arr]
+    # fall back to the reference CLI's input format: a pickled list of
+    # trial dicts saved via vlgp.util.save (__main__.py:18-21)
+    from .utils.io import load_reference_trials
+
+    try:
+        return load_reference_trials(path)
+    except Exception as e:
+        raise SystemExit(
+            f"no trials found in {path} (expected stacked 'y', per-trial "
+            f"'y0..', or a reference-saved trial list): {e}"
+        )
 
 
 def main(argv=None) -> int:

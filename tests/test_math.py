@@ -93,3 +93,29 @@ def test_effective_rank_truncation_is_exact():
         assert np.abs(K - G @ G.T).max() < 1e-5, (T, omega, r)
     # saturated probe falls back to full rank
     assert effective_rank(500, 5e-2) == 500
+
+
+def test_nystrom_finite_guard_falls_back_to_ichol():
+    """ADVICE-r2: a NaN landmark Cholesky (jitter below the device floor)
+    must degrade to the exact pivoted-ichol factor, not NaN the fit."""
+    from vlgp_tpu.ops.ichol import nystrom_gauss_batch
+
+    n, rank = 50, 40
+    omega = jnp.asarray([1e-2, 5e-2])
+    # a negative jitter makes the landmark kernel indefinite -> NaN chol,
+    # simulating the marginal-jitter failure on a worse device/compiler
+    G = np.asarray(nystrom_gauss_batch(n, omega, rank, jitter=-1.0))
+    assert np.isfinite(G).all()
+    for z, om in enumerate(np.asarray(omega)):
+        K = dense_se(n, float(om))
+        assert np.abs(K - G[z] @ G[z].T).max() < 1e-4, om
+
+
+def test_nystrom_healthy_path_unchanged():
+    from vlgp_tpu.ops.ichol import nystrom_gauss_batch
+
+    n, rank = 50, 40
+    omega = jnp.asarray([1e-2])
+    G = np.asarray(nystrom_gauss_batch(n, omega, rank))
+    K = dense_se(n, 1e-2)
+    assert np.abs(K - G[0] @ G[0].T).max() < 1e-3

@@ -165,3 +165,21 @@ def test_fused_scan_block_matches_unfused():
     assert r_scan.runtime["it"] == r_plain.runtime["it"]
     assert np.abs(np.asarray(r_plain.params.a) - np.asarray(r_scan.params.a)).max() < 1e-9
     assert np.abs(np.asarray(r_plain.params.omega) - np.asarray(r_scan.params.omega)).max() < 1e-12
+
+
+def test_converged_at_recorded_across_driver_modes():
+    """ADVICE-r2: block mode keeps counting runtime['it'] through the block
+    remainder after convergence; runtime['converged_at'] is the comparable
+    index across driver modes."""
+    trials, _ = _poisson_trials(ntrial=2, length=60, ydim=8)
+    kw = dict(dtype="float64", max_iter=8, min_iter=2, tol=10.0)
+    r_host = vlgp_tpu.fit(trials, 2, **kw)
+    r_fused = vlgp_tpu.fit(trials, 2, fused=True, **kw)
+    r_block = vlgp_tpu.fit(trials, 2, block=4, **kw)
+    # tol=10 makes the norm test pass immediately -> converge at min_iter
+    assert r_host.runtime["converged_at"] == 2
+    assert r_fused.runtime["converged_at"] == 2
+    assert r_block.runtime["converged_at"] == 2
+    # block mode finished its 4-iteration block; per-iter modes stopped
+    assert r_block.runtime["it"] == 4
+    assert r_host.runtime["it"] == 2

@@ -1,6 +1,7 @@
 """Utility-layer tests: design matrices, rotations, misc (vs reference
 where available)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -116,6 +117,18 @@ def test_orthomax_promax_run():
     assert z.shape == A.shape
 
 
+def test_orthomax_degenerate_restart():
+    """util.py:228-233: a start whose first SVD step is the identity must
+    restart from a random orthogonal T instead of stalling at T=I."""
+    A = np.zeros((6, 2))
+    A[0, 0] = A[1, 1] = 1.0  # already axis-aligned: first step lands on I
+    B, T = orthomax(jnp.asarray(A), normalize=False, key=jax.random.PRNGKey(5))
+    T = np.asarray(T)
+    assert np.linalg.norm(T - np.eye(2)) > 1e-3  # restarted
+    np.testing.assert_allclose(T.T @ T, np.eye(2), atol=1e-6)  # orthogonal
+    np.testing.assert_allclose(np.asarray(B), A @ T, atol=1e-6)
+
+
 def test_ensure_key():
     import jax
 
@@ -189,3 +202,53 @@ def test_elbo_terms_complete_and_em_improves_it():
     for k in ("poisson_ll", "gaussian_ll", "gp_prior_ll", "elbo"):
         assert np.isfinite(e1[k]) and np.isfinite(e8[k]), (k, e1, e8)
     assert e8["elbo"] > e1["elbo"], (e1["elbo"], e8["elbo"])
+
+
+def test_elbo_terms_ragged_matches_dense_oracle():
+    """VERDICT-r2 weak #6: the GP term must count each ragged trial's OWN
+    grid (per-length-bucket logdet), matching a dense per-trial oracle."""
+    import numpy as np
+    import vlgp_tpu
+    from vlgp_tpu.evaluation import elbo_terms
+
+    rng = np.random.default_rng(3)
+    zdim, ydim = 2, 8
+    a = rng.normal(size=(zdim, ydim)) * 0.6
+    lengths = [60, 44, 71, 44]
+    trials = []
+    for L in lengths:
+        z = np.column_stack(
+            (np.sin(np.linspace(0, 5, L)), np.cos(np.linspace(0, 5, L)))
+        )
+        trials.append({"y": rng.poisson(np.exp(z @ a - 1.5)).astype(float)})
+
+    res = vlgp_tpu.fit(trials, zdim, dtype="float64", max_iter=3, min_iter=1,
+                       window=None)
+    gp_reg = 1e-6
+    terms = elbo_terms(res.data, res.params, res.G, gp_reg=gp_reg)
+
+    # dense per-trial oracle
+    G = np.asarray(res.G)  # (Z, T, R)
+    mu = np.asarray(res.data.mu)
+    w = np.asarray(res.data.w)
+    mask = np.asarray(res.data.mask)
+    gp_noise = res.params.gp_noise
+    want = 0.0
+    for i, L in enumerate(np.asarray(res.data.lengths)):
+        L = int(L)
+        for z in range(zdim):
+            G_L = G[z, :L]
+            K = G_L @ G_L.T + (gp_noise + gp_reg) * np.eye(L)
+            wv = w[i, :L, z] * mask[i, :L]
+            R = G.shape[-1]
+            X = np.linalg.inv(np.eye(R) + (G_L * wv[:, None]).T @ G_L)
+            S = G_L @ X @ G_L.T
+            m = mu[i, :L, z]
+            Kinv = np.linalg.inv(K)
+            sign, logdet = np.linalg.slogdet(K)
+            want += (
+                -0.5 * m @ Kinv @ m
+                - 0.5 * np.trace(Kinv @ S)
+                - 0.5 * logdet
+            )
+    np.testing.assert_allclose(terms["gp_prior_ll"], want, rtol=1e-8)

@@ -61,8 +61,8 @@ def main(argv=None) -> int:
     pfit.add_argument("--fused", action="store_true",
                       help="run each EM iteration as one jitted graph")
     pfit.add_argument("--block", type=int, default=1,
-                      help="with --fused: scan this many EM iterations "
-                           "per device dispatch")
+                      help="scan this many EM iterations per device "
+                           "dispatch (values > 1 imply --fused)")
     pfit.add_argument("--path", type=str, default=None,
                       help="periodic parameter snapshots to this path")
     pfit.add_argument("--quiet", action="store_true")

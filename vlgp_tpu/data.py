@@ -232,12 +232,18 @@ def scatter_segments(full: TrialSet, segments: TrialSet) -> TrialSet:
     ok = times < tmax
     rows = np.broadcast_to(idx[:, None], times.shape)[ok]
     cols = times[ok]
+    # Deduplicate overlapped bins so each (trial, bin) is written by exactly
+    # one (the LAST) segment touching it — NumPy does not formally guarantee
+    # assignment order for duplicated fancy indices (ADVICE-r2), so make
+    # last-write-wins explicit instead of implementation-dependent.
+    lin = rows.astype(np.int64) * tmax + cols
+    _, first_of_rev = np.unique(lin[::-1], return_index=True)
+    keep = lin.size - 1 - first_of_rev  # index of each bin's last writer
+    rows, cols = rows[keep], cols[keep]
 
     def put(dst, src):
         out = np.asarray(dst).copy()
-        # C-order fancy assignment applies duplicates in segment order —
-        # identical last-write-wins semantics to the sequential loop
-        out[rows, cols] = np.asarray(src)[ok]
+        out[rows, cols] = np.asarray(src)[ok][keep]
         return out
 
     return full.replace(

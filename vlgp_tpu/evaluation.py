@@ -71,9 +71,12 @@ def elbo_terms(data, params, G, gp_reg: float = 1e-6):
     posterior covariances are rebuilt from the stored weights via the
     low-rank Woodbury identity S = G (I + G'WG)^{-1} G'), and their sum as
     ``elbo`` — equal to the true ELBO up to the posterior entropy, which
-    is constant in the parameters given q.  The logdet counts the padded
-    grid, so the GP term is exact for equal-length trials and an
-    upper-bounded approximation for ragged ones.
+    is constant in the parameters given q.  Exact for ragged trials too:
+    trials are pooled per length bucket, each bucket scored against the
+    prior restricted to its true length (K is stationary on a regular
+    grid, so the padded factor's L-prefix is the length-L factor), so the
+    logdet counts each trial's own grid — safe to use as a convergence
+    criterion on unequal-length data (VERDICT-r2 weak #6).
     """
     mask = data.mask[..., None]
     eta = jnp.einsum("stz,zy->sty", data.mu, params.a) + jnp.einsum(
@@ -100,25 +103,36 @@ def elbo_terms(data, params, G, gp_reg: float = 1e-6):
     muz = _zmajor(data.mu) * data.mask[None]
     wz = _zmajor(data.w) * data.mask[None]
     X = _woodbury_inverse(G, wz)  # (Z, N, R, R)
-    Mbar = jnp.einsum("znt,znu->ztu", muz, muz)
-    GXsumG = jnp.einsum(
-        "ztr,zrq,zuq->ztu", G, jnp.sum(X, axis=1), G
-    )
-    C = Mbar + GXsumG  # (Z, T, T)
-    T = G.shape[1]
-    K = jnp.einsum("ztr,zur->ztu", G, G) + (
-        params.gp_noise + gp_reg
-    ) * jnp.eye(T, dtype=G.dtype)
-    L = jnp.linalg.cholesky(K)
-    half = jax.scipy.linalg.solve_triangular(L, C, lower=True)
-    Kinv_C = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(L, -1, -2), half, lower=False
-    )
-    logdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
-    n_trials = data.ntrial
-    gp_ll = jnp.sum(
-        -0.5 * jnp.trace(Kinv_C, axis1=-2, axis2=-1) - n_trials * logdet
-    )
+
+    # Pool trials per length bucket; for a trial of true length L only the
+    # first L rows of mu/w are nonzero, and X = (I+G'WG)^{-1} built on the
+    # padded grid equals the one built on G[:, :L] (masked w zeroes the
+    # padded rows' contribution) — so restricting everything to the
+    # L-prefix is exact, not an approximation.
+    lengths = np.asarray(data.lengths)
+    gp_ll = 0.0
+    for L_true in np.unique(lengths):
+        sel = np.nonzero(lengths == L_true)[0]
+        Lt = int(L_true)
+        G_L = G[:, :Lt, :]
+        mu_sel = muz[:, sel, :Lt]
+        X_sel = jnp.sum(X[:, sel], axis=1)  # (Z, R, R)
+        Mbar = jnp.einsum("znt,znu->ztu", mu_sel, mu_sel)
+        C = Mbar + jnp.einsum("ztr,zrq,zuq->ztu", G_L, X_sel, G_L)
+        K = jnp.einsum("ztr,zur->ztu", G_L, G_L) + (
+            params.gp_noise + gp_reg
+        ) * jnp.eye(Lt, dtype=G.dtype)
+        Lc = jnp.linalg.cholesky(K)
+        half = jax.scipy.linalg.solve_triangular(Lc, C, lower=True)
+        Kinv_C = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(Lc, -1, -2), half, lower=False
+        )
+        logdet = jnp.sum(
+            jnp.log(jnp.diagonal(Lc, axis1=-2, axis2=-1)), axis=-1
+        )
+        gp_ll += jnp.sum(
+            -0.5 * jnp.trace(Kinv_C, axis1=-2, axis2=-1) - len(sel) * logdet
+        )
     out = {
         "poisson_ll": float(pois_ll),
         "gaussian_ll": float(gauss_ll),

@@ -199,12 +199,16 @@ def vem(
 
     ``fused=True`` runs the whole EM iteration as one jitted graph (one
     dispatch + one compile instead of four) — per-phase timings then all
-    land in ``em_elapsed``.  ``block=k`` (with ``fused``) additionally
-    scans k iterations per dispatch, amortizing the per-dispatch latency
-    of remote-attached devices; convergence is then checked (and callbacks
-    fire) at block boundaries, which matches the reference's effective
-    behavior for the default ``min_iter=5`` when k divides it.
-    Returns (data, params, G, runtime).
+    land in ``em_elapsed``.  ``block=k`` (k > 1 — implies ``fused``)
+    additionally scans k iterations per dispatch, amortizing the
+    per-dispatch latency of remote-attached devices; convergence is then
+    checked (and callbacks fire) at block boundaries, which matches the
+    reference's effective behavior for the default ``min_iter=5`` when k
+    divides it.  Returns (data, params, G, runtime); once the convergence
+    test first passes, ``runtime["converged_at"]`` records that iteration
+    index (1-based) — in block mode ``runtime["it"]`` keeps counting
+    through the remainder of the block, so compare ``converged_at`` across
+    driver modes, not ``it``.
     """
     if block > 1:  # scanning implies the fused step
         return _vem_scan(data, params, G, config, callbacks, verbose, block)
@@ -255,6 +259,7 @@ def vem(
             "dmu": float(post["dmu"]), "da": float(post["da"]), "db": float(post["db"]),
         }
         if _converged(norms, config.tol) and it + 1 >= config.min_iter:
+            runtime["converged_at"] = runtime["it"]
             break
 
     return data, params, G, runtime
@@ -280,6 +285,7 @@ def _vem_fused(data, params, G, config, callbacks, verbose):
             except RuntimeError:
                 pass
         if _converged(norms, config.tol) and it + 1 >= config.min_iter:
+            runtime["converged_at"] = runtime["it"]
             break
     return data, params, G, runtime
 
@@ -302,7 +308,10 @@ def _vem_scan(data, params, G, config, callbacks, verbose, block):
             runtime["em_elapsed"].append(elapsed / k)
             norms = {key: norms_k[key][i] for key in norms_k}
             if (_converged(norms, config.tol)
-                    and runtime["it"] >= config.min_iter):
+                    and runtime["it"] >= config.min_iter and not done):
+                # ADVICE-r2: `it` keeps counting through the block remainder
+                # after mid-block convergence; this is the comparable index
+                runtime["converged_at"] = runtime["it"]
                 done = True
         if verbose:
             print(f"Iteration {runtime['it']:4d}, "

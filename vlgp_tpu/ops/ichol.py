@@ -137,8 +137,24 @@ def nystrom_gauss_batch(n: int, omega, rank: int, dt: float = 1.0,
     eye = jnp.eye(rank, dtype=dtype)
     L = jnp.linalg.cholesky(K_JJ + jitter * eye)
     # G = K_nJ L^{-T}  (right triangular solve, batched)
-    return lax.linalg.triangular_solve(
+    G = lax.linalg.triangular_solve(
         L, K_nJ, left_side=False, lower=True, transpose_a=True
+    )
+    # Finite-guard (ADVICE-r2): the jitter floor sits only ~2x above the
+    # measured f32 TPU Cholesky NaN floor, and a NaN factor would poison
+    # every downstream solve *including* the NS escalate-to-exact net
+    # (which would Cholesky the same NaN operand).  Degrade to the exact
+    # pivoted-ichol factor per latent instead of NaN-ing the whole fit;
+    # the cond keeps the sequential ichol off the hot path when (always,
+    # in practice) the Nystrom factor is finite.
+    finite = jnp.all(jnp.isfinite(G), axis=(1, 2))  # (Z,)
+    return lax.cond(
+        jnp.all(finite),
+        lambda g: g,
+        lambda g: jnp.where(
+            finite[:, None, None], g, ichol_gauss_batch(n, omega, rank, dt)
+        ),
+        G,
     )
 
 

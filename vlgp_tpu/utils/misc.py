@@ -85,7 +85,14 @@ def varimax(x, normalize: bool = True, tol: float = 1e-5, niter: int = 1000):
 
 def orthomax(A, gamma: float = 1.0, normalize: bool = True, rtol: float = 1e-8,
              maxit: int = 250, key=None):
-    """Orthomax rotation family (util.py:211-256)."""
+    """Orthomax rotation family (util.py:211-256).
+
+    Degenerate starts restart from a seeded random orthogonal rotation
+    (util.py:228-233): when the first SVD step lands on the identity the
+    fixed-point gradient is zero and the iteration would stall at the
+    (possibly non-optimal) unrotated solution.  ``key`` seeds the restart
+    (the reference draws from global NumPy state).
+    """
     A = jnp.asarray(A)
     n, m = A.shape
     h = None
@@ -94,6 +101,16 @@ def orthomax(A, gamma: float = 1.0, normalize: bool = True, rtol: float = 1e-8,
         A = A / h
     T = jnp.eye(m, dtype=A.dtype)
     B = A @ T
+    L0, _, M0 = jnp.linalg.svd(
+        A.T @ (n * B**3 - gamma * B @ jnp.diag(jnp.sum(B**2, axis=0))),
+        full_matrices=False,
+    )
+    if float(jnp.linalg.norm(L0 @ M0 - T)) < rtol:
+        T, _ = jnp.linalg.qr(
+            jax.random.normal(ensure_key(0 if key is None else key), (m, m),
+                              dtype=A.dtype)
+        )
+        B = A @ T
     s = 0.0
     for _ in range(maxit):
         s_old = s

@@ -30,7 +30,7 @@ from .mesh import (
     shard_data,
     trim_channels,
 )
-from .spmd import sharded_em_step, sharded_infer
+from .spmd import sharded_em_scan, sharded_em_step, sharded_infer
 
 __all__ = ["fit_sharded", "initialize_distributed"]
 
@@ -47,6 +47,7 @@ def fit_sharded(
     n_factors: int,
     mesh: Optional[Mesh] = None,
     verbose: bool = False,
+    block: int = 1,
     **kwargs,
 ) -> FitResult:
     """Fit vLGP with the EM step sharded over a ('data', 'model') mesh.
@@ -55,6 +56,14 @@ def fit_sharded(
     with exactly-inert masked channels when needed (:func:`pad_channels`).
     Extra keyword args are split between model parameters and
     :class:`Config` exactly as in :func:`vlgp_tpu.fit`.
+
+    ``block=k`` scans k EM iterations per shard_mapped dispatch — one
+    device dispatch and ONE host norms-sync per k iterations instead of
+    per iteration (on multi-host pods each sync is a cross-host barrier).
+    Convergence is checked per-iteration from the stacked block norms;
+    like :func:`~vlgp_tpu.models.driver.vem`, ``runtime['converged_at']``
+    records the first converged iteration while ``runtime['it']`` counts
+    the full executed block.
     """
     config_keys = set(Config.__dataclass_fields__)
     config = default_config(**{k: v for k, v in kwargs.items() if k in config_keys})
@@ -85,7 +94,6 @@ def fit_sharded(
     G_seg = make_cholesky(segments.nbin, params, rank=seg_rank)
     params_r, G_seg = replicate((params, G_seg), mesh)
 
-    step = sharded_em_step(mesh, config, segments, params_r)
     runtime = {"it": 0, "em_elapsed": []}
     params = params_r
     from jax.sharding import PartitionSpec as P
@@ -97,18 +105,47 @@ def fit_sharded(
                   G_seg.shape[-1]), segments.mu.dtype),
         mesh, P(None, "data", None, None),
     )
-    for it in range(config.max_iter):
-        runtime["it"] += 1
-        tic = time.perf_counter()
-        segments, params, G_seg, norms, xinv = step(
-            segments, params, G_seg, xinv
-        )
-        norms = {k: float(v) for k, v in norms.items()}
-        runtime["em_elapsed"].append(time.perf_counter() - tic)
-        if verbose:
-            print(f"Iteration {it + 1}, EM {runtime['em_elapsed'][-1]:.2f}s")
-        if _converged(norms, config.tol) and it + 1 >= config.min_iter:
-            break
+    if block > 1:
+        run = sharded_em_scan(mesh, config, segments, params_r, block)
+        done = False
+        while runtime["it"] < config.max_iter and not done:
+            k = min(block, config.max_iter - runtime["it"])
+            step = run if k == block else sharded_em_scan(
+                mesh, config, segments, params_r, k
+            )
+            tic = time.perf_counter()
+            segments, params, G_seg, xinv, norms_k = step(
+                segments, params, G_seg, xinv
+            )
+            # ONE host sync per block: the stacked norms readback
+            norms_k = {key: list(map(float, v)) for key, v in norms_k.items()}
+            elapsed = time.perf_counter() - tic
+            for i in range(k):
+                runtime["it"] += 1
+                runtime["em_elapsed"].append(elapsed / k)
+                norms = {key: norms_k[key][i] for key in norms_k}
+                if (_converged(norms, config.tol)
+                        and runtime["it"] >= config.min_iter and not done):
+                    runtime["converged_at"] = runtime["it"]
+                    done = True
+            if verbose:
+                print(f"Iteration {runtime['it']}, "
+                      f"EM {elapsed / k:.2f}s/it (block {k})")
+    else:
+        step = sharded_em_step(mesh, config, segments, params_r)
+        for it in range(config.max_iter):
+            runtime["it"] += 1
+            tic = time.perf_counter()
+            segments, params, G_seg, norms, xinv = step(
+                segments, params, G_seg, xinv
+            )
+            norms = {k: float(v) for k, v in norms.items()}
+            runtime["em_elapsed"].append(time.perf_counter() - tic)
+            if verbose:
+                print(f"Iteration {it + 1}, EM {runtime['em_elapsed'][-1]:.2f}s")
+            if _converged(norms, config.tol) and it + 1 >= config.min_iter:
+                runtime["converged_at"] = runtime["it"]
+                break
 
     # gather the trained posterior back into the full trials
     seg_host = to_host(segments)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 
 import jax
+from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -24,7 +25,7 @@ from ..models.driver import make_em_step
 from ..models.vlgp import Dist, estep
 from .mesh import data_specs, params_specs
 
-__all__ = ["sharded_em_step", "sharded_infer", "DIST"]
+__all__ = ["sharded_em_step", "sharded_em_scan", "sharded_infer", "DIST"]
 
 DIST = Dist(data="data", model="model")
 
@@ -47,6 +48,44 @@ def sharded_em_step(mesh: Mesh, config: Config, data: TrialSet, params: Params):
         mesh=mesh,
         in_specs=(dspec, pspec, P(), xinv_spec),
         out_specs=(dspec, pspec, P(), norm_spec, xinv_spec),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_em_scan(mesh: Mesh, config: Config, data: TrialSet,
+                    params: Params, k: int):
+    """k EM iterations as ONE shard_mapped dispatch (lax.scan over the
+    fused step) — the SPMD analog of ``_scan_em_jit`` (models/driver.py).
+
+    On a real multi-host pod every dispatch pays DCN/coordinator latency
+    and every norms readback is a cross-host sync; scanning k steps per
+    dispatch amortizes both (VERDICT-r2 item 6).  Per-step norms come back
+    stacked (k,) so the host still sees every iteration's convergence
+    numbers at the block boundary.
+    """
+    em = make_em_step(config, DIST, carry_xinv=True)
+    dspec = data_specs(data)
+    pspec = params_specs(params)
+    norm_spec = {key: P() for key in ("mu", "dmu", "a", "da", "b", "db")}
+    xinv_spec = P(None, "data", None, None)
+
+    def run(data, params, G, xinv):
+        def body(carry, _):
+            d, p, g, xv = carry
+            d, p, g, norms, xv = em(d, p, g, xv)
+            return (d, p, g, xv), norms
+
+        (data, params, G, xinv), norms = lax.scan(
+            body, (data, params, G, xinv), None, length=k
+        )
+        return data, params, G, xinv, norms
+
+    fn = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(dspec, pspec, P(), xinv_spec),
+        out_specs=(dspec, pspec, P(), xinv_spec, norm_spec),
         check_vma=False,
     )
     return jax.jit(fn)

@@ -1,0 +1,80 @@
+"""H-step inverse-accuracy contract (VERDICT-r2 item 10).
+
+models/gp.py:hstep chains the E-step's carried Woodbury inverse across the
+ridge fold with ``warm_probe=False`` by design (the probe would accept a
+systematically-biased inverse there).  This oracle pins the 1e-2 residual
+contract: the omega trajectory produced with Newton-Schulz warm-chained
+inverses must match the one produced with exact (force="xla") inverses to
+within the documented tolerance — so any future change that loosens the
+NS exits breaks CI here rather than silently degrading fit quality.
+
+Runs in float32 with force="ns" so the NS warm/refine logic executes on
+the CPU test host (the default CPU dispatch would silently use exact
+inverses and make the test vacuous).
+"""
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vlgp_tpu.config import default_config, make_params
+from vlgp_tpu.data import cut_trials, pack_trials
+from vlgp_tpu.models import gp as gpmod
+from vlgp_tpu.models.gp import make_cholesky
+from vlgp_tpu.models.vlgp import estep, update_v, update_w
+from vlgp_tpu.ops.spd import inv_one_plus_psd
+
+
+@pytest.fixture(scope="module")
+def state():
+    rng = np.random.default_rng(11)
+    zdim, ydim, length, ntrial = 2, 14, 160, 5
+    a = rng.normal(size=(zdim, ydim)) * 0.7
+    trials = []
+    for _ in range(ntrial):
+        z = np.column_stack(
+            (np.sin(np.linspace(0, 7, length)), np.cos(np.linspace(0, 9, length)))
+        )
+        trials.append({"y": rng.poisson(np.exp(z @ a - 1.7)).astype(np.float32)})
+    config = default_config(dtype="float32", window=40)
+    params = make_params(ydim, zdim, 1, "poisson", a=a,
+                         b=np.full((1, ydim), -1.7, np.float32),
+                         omega=np.asarray([4e-3, 1.2e-2]), dtype=jnp.float32)
+    data = pack_trials(trials, zdim, 1, dtype=np.float32)
+    seg = cut_trials(data, config.window, seed=0)
+    G = make_cholesky(seg.nbin, params)
+    seg = update_w(seg, params, config)
+    seg = update_v(seg, params, G, config)
+    seg, xinv = estep(seg, params, G, config, xinv=None, return_xinv=True)
+    return seg, params, G, config, xinv
+
+
+def _omega_fixed_point(state, iters=12):
+    seg, params, G, config, xinv = state
+    p = params
+    for _ in range(iters):
+        p = gpmod.hstep(seg, p, config, rank=G.shape[-1], xinv=xinv)
+    return np.asarray(p.omega)
+
+
+def test_hstep_warm_chain_matches_exact_inverses(state, monkeypatch):
+    """The pre-fixed-point transient is chaotic (tiny objective
+    perturbations reroute the Aitken/golden path — measured up to ~25%
+    log-omega swings at iteration 1-3 even between exact reruns with a
+    different candidate grid), so the pinned contract is the FIXED POINT:
+    iterated-to-convergence omega under NS warm-chained inverses must
+    match the exact-inverse fixed point to a few percent in log space
+    (measured ~1.6% on this workload)."""
+    monkeypatch.setattr(
+        gpmod, "inv_one_plus_psd",
+        functools.partial(inv_one_plus_psd, force="ns"),
+    )
+    om_ns = _omega_fixed_point(state)
+    monkeypatch.setattr(
+        gpmod, "inv_one_plus_psd",
+        functools.partial(inv_one_plus_psd, force="xla"),
+    )
+    om_exact = _omega_fixed_point(state)
+    err = np.abs(np.log(om_ns) - np.log(om_exact)).max()
+    assert err < 5e-2, (err, om_ns, om_exact)

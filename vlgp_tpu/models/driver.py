@@ -24,6 +24,7 @@ from jax import lax
 
 from ..config import Config, Params
 from ..data import TrialSet
+from ..utils.profiling import annotate
 from .gp import hstep, make_cholesky
 from .vlgp import (
     Dist,
@@ -224,18 +225,21 @@ def vem(
         tic_em = time.perf_counter()
 
         tic = time.perf_counter()
-        data, params, pre, xinv = phase_e(data, params, G, xinv)
-        jax.block_until_ready(data.mu)
+        with annotate("vlgp:estep"):
+            data, params, pre, xinv = phase_e(data, params, G, xinv)
+            jax.block_until_ready(data.mu)
         runtime["e_elapsed"].append(time.perf_counter() - tic)
 
         tic = time.perf_counter()
-        data, params = phase_m(data, params)
-        jax.block_until_ready(params.a)
+        with annotate("vlgp:mstep"):
+            data, params = phase_m(data, params)
+            jax.block_until_ready(params.a)
         runtime["m_elapsed"].append(time.perf_counter() - tic)
 
         tic = time.perf_counter()
-        params, G = phase_h(data, params, G, xinv)
-        jax.block_until_ready(params.omega)
+        with annotate("vlgp:hstep"):
+            params, G = phase_h(data, params, G, xinv)
+            jax.block_until_ready(params.omega)
         runtime["h_elapsed"].append(time.perf_counter() - tic)
 
         runtime["em_elapsed"].append(time.perf_counter() - tic_em)

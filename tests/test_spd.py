@@ -97,3 +97,43 @@ def test_spd_solve():
     x = np.asarray(spd_solve(A, b))
     ref = np.linalg.solve(np.asarray(A), np.asarray(b)[..., None])[..., 0]
     assert np.abs(x - ref).max() < 1e-4
+
+
+def test_packed_probe_skip_interpret():
+    """Fused probe+refine kernel (r3): converged blocks pass the warm start
+    through; drifted blocks refine — per grid block, in one kernel."""
+    from vlgp_tpu.ops.spd import _ns_packed_pallas, _packed_geometry
+
+    R = 40
+    _, _, per_block, _ = _packed_geometry(96, R)
+    B = 2 * per_block  # two grid blocks
+    A = np.asarray(_psd((B,), R, 0.3, seed=9), np.float32)
+    X_exact = np.linalg.inv(A + np.eye(R, dtype=np.float32)).astype(np.float32)
+
+    # block 1 carries the exact inverse (skips), block 2 garbage (refines)
+    x0 = X_exact.copy()
+    x0[per_block:] = X_exact[per_block:] * 0.5
+    X, resid = _ns_packed_pallas(
+        jnp.asarray(A), iters=10, x0=jnp.asarray(x0), probe_skip=True,
+        interpret=True,
+    )
+    X = np.asarray(X)
+    assert float(resid) < 1e-2
+    # converged block passed through unchanged
+    np.testing.assert_array_equal(X[:per_block], x0[:per_block])
+    # drifted block was refined to the true inverse
+    assert np.abs(X[per_block:] - X_exact[per_block:]).max() < 1e-3
+
+
+def test_packed_probe_skip_all_converged_interpret():
+    from vlgp_tpu.ops.spd import _ns_packed_pallas
+
+    R = 16
+    A = np.asarray(_psd((6,), R, 0.5, seed=10), np.float32)
+    X_exact = np.linalg.inv(A + np.eye(R, dtype=np.float32)).astype(np.float32)
+    X, resid = _ns_packed_pallas(
+        jnp.asarray(A), iters=8, x0=jnp.asarray(X_exact), probe_skip=True,
+        interpret=True,
+    )
+    assert float(resid) < 1e-2
+    np.testing.assert_array_equal(np.asarray(X), X_exact)

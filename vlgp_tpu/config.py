@@ -56,10 +56,14 @@ class Config:
     ns_iters: int = 16
     ns_warm_iters: int = 4
     # omega initialization when not user-supplied: "staggered" spreads the
-    # latents log-uniformly across the omega box (latents are exchangeable,
-    # so this breaks the symmetry that makes the coordinate-ascent H-step
-    # crawl when every latent starts at the same bound); "bound" reproduces
-    # the reference's all-at-upper-bound init (preprocess.py:74)
+    # latents log-uniformly over the SMOOTH side of the omega box
+    # ([1.2*lo, 12*lo]) — latents are exchangeable, so this breaks the
+    # symmetry that makes the coordinate-ascent H-step crawl when every
+    # latent starts at the same value, while keeping every latent out of
+    # the sharp-basin trap (the H-step fixed point is locally attracting;
+    # an init sharper than ~hi/3 freezes there and tracks noise — see
+    # api.py:_prepare).  "bound" reproduces the reference's
+    # all-at-upper-bound init (preprocess.py:74)
     omega_init: str = "staggered"
     # checkpointing
     saving_interval: float = 1800.0

@@ -132,18 +132,17 @@ cells = [
     ),
     md(
         "### Head-to-head with the reference\n"
-        "The exact $R^2$ depends on the random draw (0.89\u20130.92 band "
-        "over seeds).  Measured head-to-head on the reference's *own* "
-        "simulation of this workload (its NumPy RNG and simulator, same "
-        "data to both fitters, 20 EM iterations, this host): reference "
-        "$R^2 = 0.921$; this engine $0.916$ self-tuned and $0.922$ when "
-        "run at the reference's learned lengthscales.  The small "
-        "self-tuned gap is a documented H-step design difference: the "
-        "reference's inconsistent-gradient L-BFGS systematically "
-        "over-smooths (all its $\\omega$ collapse to the lower bound), "
-        "which happens to help on smooth Lorenz latents; this engine's "
-        "consistent fixed-posterior objective keeps one latent at a "
-        "sharper lengthscale (see `models/gp.py`)."
+        "Measured head-to-head on the reference's *own* simulation of "
+        "this workload (its NumPy RNG and simulator, same data to both "
+        "fitters, 20 EM iterations, this host \u2014 `tools/head2head.py`): "
+        "reference $R^2 = 0.921$; this engine $R^2 = 0.936$ self-tuned "
+        "(and $0.922$ when handed the reference's learned lengthscales). "
+        "The reference's inconsistent-gradient L-BFGS collapses every "
+        "$\\omega$ to the lower bound (maximal smoothing); this engine's "
+        "consistent fixed-posterior H-step, staggered over the smooth "
+        "side of the $\\omega$ box, keeps a diversity of lengthscales "
+        "that fits the multi-scale Lorenz dynamics better "
+        "(see `models/gp.py` and `api.py:_prepare`)."
     ),
     md(
         "## Posterior uncertainty\n"

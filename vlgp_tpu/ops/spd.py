@@ -64,6 +64,13 @@ _BB = 32  # matrices per block: each (32,64,64) f32 buffer is 0.5 MB VMEM
 _PREC = lax.Precision.HIGH
 _PREC_EXACT = lax.Precision.HIGHEST
 
+# Warm-start probe architecture for the packed NS path: "0" (default) =
+# probe kernel + lax.cond + refine kernel; "1" = fused single-kernel
+# probe+refine (measured slower — see the comment at the probe site).
+import os as _os
+
+_FUSED_PROBE = _os.environ.get("VLGP_FUSED_PROBE", "0") == "1"
+
 
 def _spd_inverse_kernel(a_ref, out_ref):
     A = a_ref[:]  # (BB, RP, RP) f32
@@ -305,15 +312,25 @@ def _ns_auto(A, iters, force, warm, warm_iters, allow_packed,
 
         if not probe:
             return refine()
-        # Fused probe+refine: one kernel measures the carry's residual per
-        # grid block and refines only the blocks that drifted (VERDICT-r2
-        # weak #3 — the former probe-kernel + lax.cond + refine-kernel
-        # shape copied the whole (Z,S,R,R) carry through the cond on every
-        # converged sweep: ~64 MB of XLA pass-through copies per E-step
-        # sweep at the flagship config, measured ~31 ms/iter in TRACE.md).
-        Xw, resid = _ns_packed_pallas(flat, iters=warm_iters, x0=x0w,
-                                      probe_skip=True)
-        return _checked(Xw.reshape(shape), resid, cold_packed)
+        if _FUSED_PROBE:
+            # Fused probe+refine: one kernel measures the carry's residual
+            # per grid block and refines only the drifted blocks — no
+            # probe dispatch, no lax.cond, no (Z,S,R,R) pass-through copy.
+            # MEASURED SLOWER than the cond architecture (6.78 vs 7.9 EM
+            # it/s at the flagship config, tiles 8 and 12 both): the
+            # per-block scalar branch defeats Mosaic's block DMA
+            # pipelining, costing more than the cond copies it removes
+            # (VERDICT-r2 weak #3 falsified by measurement — see STATUS).
+            # Kept behind VLGP_FUSED_PROBE=1 for future re-measurement.
+            Xw, resid = _ns_packed_pallas(flat, iters=warm_iters, x0=x0w,
+                                          probe_skip=True)
+            return _checked(Xw.reshape(shape), resid, cold_packed)
+        _, resid0 = _ns_packed_pallas(flat, iters=0, x0=x0w, resid_only=True)
+        return lax.cond(
+            jnp.isfinite(resid0) & (resid0 < _RESID_TOL),
+            lambda: x0w.reshape(shape),
+            refine,
+        )
 
     eye = jnp.eye(R, dtype=A.dtype)
     M = A + eye
@@ -514,9 +531,13 @@ def _make_ns_packed_kernel(R: int, gpt: int, tiles: int, iters: int,
     return no_x0
 
 
-def _packed_geometry(B: int, R: int):
+def _packed_geometry(B: int, R: int, tiles: int = 16):
+    # tiles=16: (16, 128, 128) f32 scratch = 1 MB per buffer.  The fused
+    # probe_skip kernel uses tiles=8: its two predicated branches BOTH
+    # count their matmul pipelines against Mosaic's 16 MB scoped-VMEM
+    # stack (measured 18.66 MB at tiles=16 — compile-time OOM at flagship
+    # scale), and halving the tile batch halves every live intermediate.
     gpt = max(1, 128 // R)
-    tiles = 16  # (16, 128, 128) f32 scratch = 1 MB per buffer
     per_block = tiles * gpt
     BP = -(-B // per_block) * per_block
     return gpt, tiles, per_block, BP
@@ -540,7 +561,9 @@ def _ns_packed_pallas(A, iters: int = 16, x0=None, interpret: bool = False,
     (accepted x0 residual | refined residual).
     """
     B, R, _ = A.shape
-    gpt, tiles, per_block, _ = _packed_geometry(B, R)
+    gpt, tiles, per_block, _ = _packed_geometry(
+        B, R, tiles=12 if probe_skip else 16
+    )
     grid = -(-B // per_block)  # cdiv: tail block masked in-kernel
 
     assert not (probe_skip and x0 is None)

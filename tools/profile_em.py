@@ -33,7 +33,7 @@ from vlgp_tpu.models.vlgp import update_w  # noqa: E402
 
 
 def setup():
-    trials, a = make_workload()
+    trials, a, _ = make_workload()
     config = default_config()
     params = make_params(
         YDIM, ZDIM, 1, "poisson", a=a,

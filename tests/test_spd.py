@@ -105,7 +105,8 @@ def test_packed_probe_skip_interpret():
     from vlgp_tpu.ops.spd import _ns_packed_pallas, _packed_geometry
 
     R = 40
-    _, _, per_block, _ = _packed_geometry(96, R, tiles=8)  # probe_skip geometry
+    # must match the tiles the probe_skip path actually uses (spd.py)
+    _, _, per_block, _ = _packed_geometry(96, R, tiles=12)
     B = 2 * per_block  # two grid blocks
     A = np.asarray(_psd((B,), R, 0.3, seed=9), np.float32)
     X_exact = np.linalg.inv(A + np.eye(R, dtype=np.float32)).astype(np.float32)

@@ -35,7 +35,11 @@ def simulate():
     """Reference tutorial cells 9-15, verbatim semantics (its NumPy RNG and
     its simulator), cached so every run sees the same draw."""
     if Y_CACHE.exists() and X_CACHE.exists():
-        return np.load(Y_CACHE), np.load(X_CACHE)
+        y, x = np.load(Y_CACHE), np.load(X_CACHE)
+        # ignore stale/foreign caches at these world-shared paths
+        if (y.shape == (NTRIAL, NBIN, NNEURON)
+                and x.shape == (NTRIAL, NBIN, DIM)):
+            return y, x
     from refshim import load_reference
 
     assert load_reference() is not None, "reference unavailable"
@@ -67,12 +71,12 @@ def simulate():
 
 
 def r2_aligned(mu, zt):
-    """lstsq-aligned R^2 with intercept, concatenated over trials
-    (tutorial cell 22's alignment, scored over the full dataset)."""
-    X = np.column_stack([mu, np.ones(len(mu))])
-    beta, *_ = np.linalg.lstsq(X, zt, rcond=None)
-    return float(1 - np.sum((X @ beta - zt) ** 2)
-                 / np.sum((zt - zt.mean(0)) ** 2))
+    """lstsq-aligned R^2 with intercept (tutorial cell 22's alignment) —
+    the SAME metric as the bench harness, imported so the published
+    head-to-head and bench numbers cannot drift apart."""
+    from bench import _r2_aligned
+
+    return _r2_aligned(mu, zt)
 
 
 def fit_reference(y, x):

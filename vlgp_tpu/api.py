@@ -130,8 +130,11 @@ def _prepare(
         # head-to-head on the reference's own tutorial data this scores
         # R^2 0.936 vs the reference's 0.921 (tools/head2head.py).
         lo, hi = config.omega_bound
-        top = min(lo * 12, hi / 3)
-        omega = np.logspace(np.log10(lo * 1.2), np.log10(top), n_factors)
+        bottom = min(lo * 1.2, hi)
+        top = max(min(lo * 12, hi / 3), bottom)  # narrow boxes: stay inside
+        omega = np.clip(
+            np.logspace(np.log10(bottom), np.log10(top), n_factors), lo, hi
+        )
 
     params = make_params(
         data.ydim,

@@ -57,6 +57,31 @@ def loglik(fit) -> float:
     return total
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("nsel",))
+def _gp_bucket_term(G_L, mu_sel, X_sel, eps_total, nsel: int):
+    """GP prior expectation for one length bucket: trials pooled at their
+    true length Lt.  G_L (Z, Lt, R); mu_sel (Z, nsel, Lt); X_sel (Z, R, R)
+    summed Woodbury inverses."""
+    Lt = G_L.shape[1]
+    Mbar = jnp.einsum("znt,znu->ztu", mu_sel, mu_sel)
+    C = Mbar + jnp.einsum("ztr,zrq,zuq->ztu", G_L, X_sel, G_L)
+    K = jnp.einsum("ztr,zur->ztu", G_L, G_L) + eps_total * jnp.eye(
+        Lt, dtype=G_L.dtype
+    )
+    Lc = jnp.linalg.cholesky(K)
+    half = jax.scipy.linalg.solve_triangular(Lc, C, lower=True)
+    Kinv_C = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(Lc, -1, -2), half, lower=False
+    )
+    logdet = jnp.sum(jnp.log(jnp.diagonal(Lc, axis1=-2, axis2=-1)), axis=-1)
+    return jnp.sum(
+        -0.5 * jnp.trace(Kinv_C, axis1=-2, axis2=-1) - nsel * logdet
+    )
+
+
 def elbo_terms(data, params, G, gp_reg: float = 1e-6):
     """Evidence lower bound of the fitted model, by term.
 
@@ -109,29 +134,20 @@ def elbo_terms(data, params, G, gp_reg: float = 1e-6):
     # padded grid equals the one built on G[:, :L] (masked w zeroes the
     # padded rows' contribution) — so restricting everything to the
     # L-prefix is exact, not an approximation.
+    # One dispatch per distinct trial length (cost scales with the number
+    # of unique lengths, not trials — equal-length data stays a single
+    # batched op; heavily ragged data pays one small Cholesky per unique
+    # length per call).  _gp_bucket_term is module-jitted so repeated
+    # calls at the same shapes (e.g. a per-iteration convergence check)
+    # reuse the compiled executables.
     lengths = np.asarray(data.lengths)
     gp_ll = 0.0
     for L_true in np.unique(lengths):
         sel = np.nonzero(lengths == L_true)[0]
         Lt = int(L_true)
-        G_L = G[:, :Lt, :]
-        mu_sel = muz[:, sel, :Lt]
-        X_sel = jnp.sum(X[:, sel], axis=1)  # (Z, R, R)
-        Mbar = jnp.einsum("znt,znu->ztu", mu_sel, mu_sel)
-        C = Mbar + jnp.einsum("ztr,zrq,zuq->ztu", G_L, X_sel, G_L)
-        K = jnp.einsum("ztr,zur->ztu", G_L, G_L) + (
-            params.gp_noise + gp_reg
-        ) * jnp.eye(Lt, dtype=G.dtype)
-        Lc = jnp.linalg.cholesky(K)
-        half = jax.scipy.linalg.solve_triangular(Lc, C, lower=True)
-        Kinv_C = jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(Lc, -1, -2), half, lower=False
-        )
-        logdet = jnp.sum(
-            jnp.log(jnp.diagonal(Lc, axis1=-2, axis2=-1)), axis=-1
-        )
-        gp_ll += jnp.sum(
-            -0.5 * jnp.trace(Kinv_C, axis1=-2, axis2=-1) - len(sel) * logdet
+        gp_ll += _gp_bucket_term(
+            G[:, :Lt, :], muz[:, sel, :Lt], jnp.sum(X[:, sel], axis=1),
+            jnp.asarray(params.gp_noise + gp_reg, G.dtype), len(sel),
         )
     out = {
         "poisson_ll": float(pois_ll),

@@ -498,12 +498,18 @@ def _make_ns_packed_kernel(R: int, gpt: int, tiles: int, iters: int,
             X0 = xp_ref[:]
             MX0 = matmul(mp_ref[:], X0)
             resid0 = block_resid(MX0)
+            # NaN-safe predicate pair: a NaN residual fails `< tol`, so the
+            # negated form routes it to the refine branch (whose final
+            # residual stays NaN and trips the XLA-level _checked
+            # fallback); `resid0 >= tol` would leave BOTH branches false
+            # and the output buffers unwritten.
+            converged = resid0 < _RESID_TOL
 
-            @pl.when(resid0 < _RESID_TOL)
+            @pl.when(converged)
             def _():
                 write(X0, resid0)
 
-            @pl.when(resid0 >= _RESID_TOL)
+            @pl.when(jnp.logical_not(converged))
             def _():
                 X1 = matmul(X0, 2.0 * eyeP[None] - MX0)
                 X = lax.fori_loop(0, max(iters - 1, 0), ns, X1)
@@ -533,10 +539,11 @@ def _make_ns_packed_kernel(R: int, gpt: int, tiles: int, iters: int,
 
 def _packed_geometry(B: int, R: int, tiles: int = 16):
     # tiles=16: (16, 128, 128) f32 scratch = 1 MB per buffer.  The fused
-    # probe_skip kernel uses tiles=8: its two predicated branches BOTH
+    # probe_skip kernel uses tiles=12: its two predicated branches BOTH
     # count their matmul pipelines against Mosaic's 16 MB scoped-VMEM
     # stack (measured 18.66 MB at tiles=16 — compile-time OOM at flagship
-    # scale), and halving the tile batch halves every live intermediate.
+    # scale; tiles=12 and tiles=8 both compile and run there, measured
+    # 6.78 it/s each).
     gpt = max(1, 128 // R)
     per_block = tiles * gpt
     BP = -(-B // per_block) * per_block

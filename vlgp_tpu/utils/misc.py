@@ -101,24 +101,26 @@ def orthomax(A, gamma: float = 1.0, normalize: bool = True, rtol: float = 1e-8,
         A = A / h
     T = jnp.eye(m, dtype=A.dtype)
     B = A @ T
-    L0, _, M0 = jnp.linalg.svd(
-        A.T @ (n * B**3 - gamma * B @ jnp.diag(jnp.sum(B**2, axis=0))),
-        full_matrices=False,
-    )
-    if float(jnp.linalg.norm(L0 @ M0 - T)) < rtol:
-        T, _ = jnp.linalg.qr(
-            jax.random.normal(ensure_key(0 if key is None else key), (m, m),
-                              dtype=A.dtype)
-        )
-        B = A @ T
     s = 0.0
-    for _ in range(maxit):
+    for it in range(maxit):
         s_old = s
         L, sv, M = jnp.linalg.svd(
             A.T @ (n * B**3 - gamma * B @ jnp.diag(jnp.sum(B**2, axis=0))),
             full_matrices=False,
         )
-        T = L @ M
+        T_new = L @ M
+        if it == 0 and float(jnp.linalg.norm(T_new - T)) < rtol:
+            # degenerate start (util.py:228-233): the first step landed on
+            # the identity, a zero-gradient point — restart from a seeded
+            # random orthogonal rotation (reuses this iteration's SVD, so
+            # the common non-degenerate case pays nothing extra)
+            T, _ = jnp.linalg.qr(
+                jax.random.normal(ensure_key(0 if key is None else key),
+                                  (m, m), dtype=A.dtype)
+            )
+            B = A @ T
+            continue
+        T = T_new
         s = float(jnp.sum(sv))
         B = A @ T
         if (s - s_old) < rtol * s:

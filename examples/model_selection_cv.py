@@ -4,6 +4,11 @@ then fit vLGP with mixed Poisson + Gaussian channels and ragged trials.
 Covers the reference's model_selection + fastfit + mixed-likelihood surface
 (SURVEY §2 items 23, 27) in one runnable script.
 """
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import numpy as np
 import vlgp_tpu
 from vlgp_tpu.model_selection import gmap_speckled_cv

@@ -31,8 +31,23 @@ def main():
 
     import jax
 
-    if args.virtual_cpu or len(jax.devices()) < n_needed:
+    # Decide the platform BEFORE any device query if virtual CPU was asked
+    # for (a backend, once initialized, can't be switched away from);
+    # otherwise probe the real devices and fall back to the virtual CPU
+    # mesh when the host has too few chips.
+    if args.virtual_cpu:
         jax.config.update("jax_platforms", "cpu")
+        devs = jax.devices("cpu")
+    else:
+        devs = jax.devices()
+        if len(devs) < n_needed:
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass  # already initialized; explicit cpu devices below
+            devs = jax.devices("cpu")
+    if len(devs) < n_needed:
+        raise SystemExit(f"need {n_needed} devices, have {len(devs)}")
 
     import numpy as np
 
@@ -50,10 +65,10 @@ def main():
         trials.append({"y": rng.poisson(np.exp(z @ a - 1.5)).astype(float)})
         zs.append(z)
 
-    mesh = make_mesh((args.data, args.model),
-                     devices=jax.devices()[: args.data * args.model])
+    mesh = make_mesh((args.data, args.model), devices=devs[:n_needed])
     print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
-    result = fit_sharded(trials, zdim, mesh=mesh, verbose=True, max_iter=8)
+    with jax.default_device(devs[0]):  # keep setup ops on the mesh platform
+        result = fit_sharded(trials, zdim, mesh=mesh, verbose=True, max_iter=8)
 
     mu = np.concatenate([t["mu"] for t in result.trials])
     zt = np.concatenate(zs)

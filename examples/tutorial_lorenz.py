@@ -22,6 +22,11 @@ import vlgp_tpu
 from vlgp_tpu.simulation import lorenz, spike
 from vlgp_tpu.utils.misc import rotate
 
+# remote-attached TPUs pay minutes per cold compile; persist executables
+vlgp_tpu.enable_compilation_cache(
+    str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache")
+)
+
 
 def main():
     p = argparse.ArgumentParser()

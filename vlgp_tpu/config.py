@@ -48,8 +48,15 @@ class Config:
     window: int = 50
     # H-step optimizer: fixed-iteration golden section on log-omega,
     # run as an Aitken-extrapolated fixed point (three searches with the
-    # posterior covariance rebuilt at the running omega between them)
+    # posterior covariance rebuilt at the running omega between them).
+    # hyper_polish adds one parabolic-interpolation refinement after the
+    # shrinks; hyper_iters=12 + polish reproduces the golden-24 fixed
+    # points to ~1% (f64 oracle) with half the sequential Cholesky chain,
+    # but measured BENCH-NEUTRAL on this host (7.77 vs 7.75 it/s — the
+    # H-step's cost is not dominated by the shrink count), so the
+    # reference-matched 24-shrink default stands.
     hyper_iters: int = 24
+    hyper_polish: bool = False
     # Newton-Schulz iteration counts for the TPU batched-inverse path
     # (ops/spd.py): cold start, and warm-started refinements inside the
     # E-step sweep loop

@@ -171,11 +171,16 @@ def gp_elbo(log_omega, mu, Sig, T: int, sigmasq, gp_noise, dt,
     return _psum(ll_local, dist.data)
 
 
-def _golden_min(f, lo, hi, iters: int):
+def _golden_min(f, lo, hi, iters: int, polish: bool = False):
     """Fixed-iteration golden-section minimization on [lo, hi].
 
     f must be vectorizable over its scalar argument's batch dims.
-    Returns the bracket midpoint after ``iters`` shrinks.
+    Returns the bracket midpoint after ``iters`` shrinks; with ``polish``
+    a final three-point parabolic interpolation (through the two live
+    golden probes and the bracket midpoint, one extra f eval) replaces
+    the midpoint — near a smooth minimum this recovers golden-24
+    precision from roughly half the shrinks, halving the sequential
+    Cholesky chain that dominates the H-step.
 
     (A batched k-section variant — k candidates per shrink as one batched
     Cholesky — was tried and measured 7x SLOWER on TPU: gp_elbo_stats's
@@ -203,7 +208,19 @@ def _golden_min(f, lo, hi, iters: int):
         return lo_n, hi_n, c_n, d_n, fc_n, fd_n
 
     lo, hi, c, d, fc, fd = lax.fori_loop(0, iters, body, (lo, hi, c, d, fc, fd))
-    return 0.5 * (lo + hi)
+    mid = 0.5 * (lo + hi)
+    if not polish:
+        return mid
+    fm = f(mid)
+    # vertex of the parabola through (c, fc), (mid, fm), (d, fd)
+    num = (mid - c) ** 2 * (fm - fd) - (mid - d) ** 2 * (fm - fc)
+    den = (mid - c) * (fm - fd) - (mid - d) * (fm - fc)
+    safe = jnp.abs(den) > 1e-30
+    x_star = mid - 0.5 * jnp.where(safe, num / jnp.where(safe, den, 1.0), 0.0)
+    # keep only interpolations that stay inside the final bracket (a
+    # degenerate/non-convex fit falls back to the midpoint)
+    ok = safe & (x_star > lo) & (x_star < hi)
+    return jnp.where(ok, x_star, mid)
 
 
 def gp_elbo_stats(log_omega, C, nseg, T: int, sigmasq, gp_noise, dt):
@@ -338,7 +355,8 @@ def hstep(
                 params.dt,
             )
 
-        return _golden_min(obj, lo, hi, config.hyper_iters), X
+        return _golden_min(obj, lo, hi, config.hyper_iters,
+                           polish=config.hyper_polish), X
 
     # The fixed-point map log_om -> F(log_om) contracts slowly when the
     # posterior was smoothed at the current omega (ratio near 1, so

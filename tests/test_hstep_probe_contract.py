@@ -58,6 +58,21 @@ def _omega_fixed_point(state, iters=12):
     return np.asarray(p.omega)
 
 
+def test_hstep_polish_matches_golden24_fixed_point(state):
+    """hyper_iters=12 + parabolic polish must land on the same fixed point
+    as the default 24-shrink golden search (models/gp.py:_golden_min)."""
+    seg, params, G, config, xinv = state
+    cfgs = (config, config.replace(hyper_iters=12, hyper_polish=True))
+    oms = []
+    for cfg in cfgs:
+        p = params
+        for _ in range(10):
+            p = gpmod.hstep(seg, p, cfg, rank=G.shape[-1], xinv=xinv)
+        oms.append(np.asarray(p.omega))
+    err = np.abs(np.log(oms[0]) - np.log(oms[1])).max()
+    assert err < 5e-2, (err, oms)
+
+
 def test_hstep_warm_chain_matches_exact_inverses(state, monkeypatch):
     """The pre-fixed-point transient is chaotic (tiny objective
     perturbations reroute the Aitken/golden path — measured up to ~25%

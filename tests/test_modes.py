@@ -63,6 +63,42 @@ def test_gaussian_only_fit():
     assert (np.asarray(res.params.noise) > 0).all()
 
 
+def test_mstep_likelihood_kind_gating_exact():
+    """Params.likelihood_kind is a trace-time gate that skips the unused
+    update family; it must be value-exact vs the always-both "mixed" path
+    (the mixed path computes both families and selects per channel)."""
+    from vlgp_tpu.config import default_config, make_params
+    from vlgp_tpu.data import pack_trials
+    from vlgp_tpu.models.vlgp import mstep, update_w
+
+    rng = np.random.default_rng(7)
+    zdim, ydim, length = 2, 9, 80
+    a = rng.normal(size=(zdim, ydim)) * 0.6
+    z = np.column_stack(
+        (np.sin(np.linspace(0, 6, length)), np.cos(np.linspace(0, 6, length)))
+    )
+    for lik in ("poisson", "gaussian"):
+        if lik == "poisson":
+            y = rng.poisson(np.exp(z @ a - 1.5)).astype(float)
+        else:
+            y = z @ a + rng.normal(size=(length, ydim)) * 0.4
+        trials = [{"y": y, "mu": z + rng.normal(size=z.shape) * 0.05}]
+        config = default_config(dtype="float64")
+        params = make_params(ydim, zdim, 1, lik, a=a * 0.9,
+                             b=np.zeros((1, ydim)), omega=np.full(zdim, 5e-3),
+                             dtype=jnp.float64)
+        assert params.likelihood_kind == lik
+        data = update_w(pack_trials(trials, zdim, 1, dtype=np.float64),
+                        params, config)
+        gated = mstep(data, params, config)
+        mixed = mstep(data, params.replace(likelihood_kind="mixed"), config)
+        for f in ("a", "b", "noise", "da", "db"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(gated, f)), np.asarray(getattr(mixed, f)),
+                err_msg=f"{lik}: {f}",
+            )
+
+
 def test_svd_loading_constraint():
     trials, zt = _poisson_trials()
     res = vlgp_tpu.fit(trials, 2, constrain_loading="svd", dtype="float64",

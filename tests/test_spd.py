@@ -138,3 +138,85 @@ def test_packed_probe_skip_all_converged_interpret():
     )
     assert float(resid) < 1e-2
     np.testing.assert_array_equal(np.asarray(X), X_exact)
+
+
+# ---------------------------------------------------------------------------
+# Fused Gram + NS kernel (round 3): X = (I + G'diag(w)G)^{-1} with the Gram
+# built in-kernel and v = diag(G X G') emitted from VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _gram_problem(Z=2, S=5, T=12, R=8, seed=11, scale=1.0):
+    rng = np.random.default_rng(seed)
+    G = rng.normal(size=(Z, T, R)).astype(np.float32) * 0.5
+    w = (rng.uniform(size=(Z, S, T)) * scale).astype(np.float32)
+    A = np.einsum("ztr,zst,ztq->zsrq", G, w, G)
+    X_ref = np.linalg.inv(A + np.eye(R, dtype=np.float32))
+    v_ref = np.einsum("ztr,zsrq,ztq->zst", G, X_ref, G)
+    return jnp.asarray(G), jnp.asarray(w), X_ref, v_ref
+
+
+def test_gram_fused_cold_interpret():
+    from vlgp_tpu.ops.spd import inv_one_plus_gram
+
+    G, w, X_ref, v_ref = _gram_problem()
+    X, v = inv_one_plus_gram(G, w, iters=16, force="interpret", want_v=True)
+    assert np.abs(np.asarray(X) - X_ref).max() < 1e-4
+    assert np.abs(np.asarray(v) - v_ref).max() < 1e-4
+
+
+def test_gram_fused_matches_plain_fallback():
+    """The CPU/f64 fallback path must equal the pre-fusion einsum route."""
+    from vlgp_tpu.ops.spd import inv_one_plus_gram, inv_one_plus_psd
+
+    G, w, X_ref, v_ref = _gram_problem(seed=12)
+    X, v = inv_one_plus_gram(G, w, iters=16, force="xla", want_v=True)
+    A = jnp.einsum("ztr,zst,ztq->zsrq", G, w, G)
+    X_plain = inv_one_plus_psd(A, iters=16, force="xla")
+    np.testing.assert_array_equal(np.asarray(X), np.asarray(X_plain))
+    assert np.abs(np.asarray(X) - X_ref).max() < 1e-4
+    assert np.abs(np.asarray(v) - v_ref).max() < 1e-4
+
+
+def test_gram_fused_warm_probe_accepts_interpret():
+    """A converged carried inverse must pass the probe unchanged, with v
+    computed from the carry."""
+    from vlgp_tpu.ops.spd import inv_one_plus_gram
+
+    G, w, X_ref, v_ref = _gram_problem(seed=13)
+    X, v = inv_one_plus_gram(
+        G, w, iters=16, force="interpret", warm=jnp.asarray(X_ref),
+        warm_iters=4, want_v=True,
+    )
+    np.testing.assert_array_equal(np.asarray(X), X_ref.astype(np.float32))
+    assert np.abs(np.asarray(v) - v_ref).max() < 1e-4
+
+
+def test_gram_fused_warm_garbage_falls_back_interpret():
+    from vlgp_tpu.ops.spd import inv_one_plus_gram
+
+    G, w, X_ref, v_ref = _gram_problem(seed=14)
+    garbage = jnp.ones_like(jnp.asarray(X_ref)) * 50.0
+    X, v = inv_one_plus_gram(
+        G, w, iters=16, force="interpret", warm=garbage, warm_iters=2,
+        want_v=True,
+    )
+    assert np.isfinite(np.asarray(X)).all()
+    assert np.abs(np.asarray(X) - X_ref).max() < 1e-4
+    assert np.abs(np.asarray(v) - v_ref).max() < 1e-4
+
+
+def test_gram_fused_tail_masking_interpret():
+    """S not divisible by the block size: the tail block's invalid slots
+    must not corrupt the residual or v."""
+    from vlgp_tpu.ops.spd import _ns_gram_pallas, _packed_geometry
+
+    R = 8
+    _, _, per_block, _ = _packed_geometry(1, R, tiles=16)
+    S = per_block + 3  # one full block + a mostly-invalid tail block
+    G, w, X_ref, v_ref = _gram_problem(Z=1, S=S, T=10, R=R, seed=15)
+    X, resid, v = _ns_gram_pallas(G, w, iters=16, want_v=True,
+                                  interpret=True)
+    assert float(resid) < 1e-2
+    assert np.abs(np.asarray(X) - X_ref).max() < 1e-3
+    assert np.abs(np.asarray(v) - v_ref).max() < 1e-3

@@ -133,6 +133,13 @@ class Params(struct.PyTreeNode):
     gp_noise: float = struct.field(pytree_node=False, default=1e-4)
     dt: float = struct.field(pytree_node=False, default=1.0)
     rank: int = struct.field(pytree_node=False, default=50)
+    # static summary of the per-channel likelihood mix: "poisson",
+    # "gaussian", or "mixed".  Known at trace time, so the M-step can skip
+    # the entire unused update family (the all-Poisson flagship otherwise
+    # spends ~1/3 of its M-step bandwidth computing Gaussian closed forms
+    # that the final per-channel select throws away).  "mixed" is always
+    # safe (both families computed, per-channel select applied).
+    likelihood_kind: str = struct.field(pytree_node=False, default="mixed")
 
     @property
     def zdim(self) -> int:
@@ -177,6 +184,12 @@ def make_params(
         if lik not in ("poisson", "gaussian"):
             raise ValueError(f"unknown likelihood {lik!r}")
     poisson = jnp.asarray([lik == "poisson" for lik in likelihood])
+    if all(lik == "poisson" for lik in likelihood):
+        kind = "poisson"
+    elif all(lik == "gaussian" for lik in likelihood):
+        kind = "gaussian"
+    else:
+        kind = "mixed"
     a = jnp.zeros((zdim, ydim), dtype) if a is None else jnp.asarray(a, dtype)
     b = jnp.zeros((xdim, ydim), dtype) if b is None else jnp.asarray(b, dtype)
     noise = (
@@ -202,4 +215,5 @@ def make_params(
         gp_noise=gp_noise,
         dt=dt,
         rank=rank,
+        likelihood_kind=kind,
     )

@@ -38,7 +38,7 @@ from jax import lax
 from ..config import Config, Params
 from ..data import TrialSet
 from ..ops.math import trunc_exp
-from ..ops.spd import inv_one_plus_psd
+from ..ops.spd import inv_one_plus_gram, inv_one_plus_psd
 
 __all__ = [
     "Dist",
@@ -202,15 +202,22 @@ def estep(
         r = _rates(eta, vz, a)
         U = jnp.where(params.poisson, r, 1.0 / _safe_noise(params.noise))
         wz = _weights(U, a, dist) * maskz
-        X = _woodbury_inverse(G, wz, iters=config.ns_iters, warm=X,
-                              warm_iters=config.ns_warm_iters)
+        # fused Gram+NS+v kernel on TPU: the (Z,S,R,R) Gram never touches
+        # HBM and v comes from the VMEM-resident inverse (ops/spd.py)
         if vb:
-            vz = _marginal_variance_from_inv(G, X) * maskz
+            X, vz = inv_one_plus_gram(
+                G, wz, iters=config.ns_iters, warm=X,
+                warm_iters=config.ns_warm_iters, want_v=True,
+            )
+            vz = vz * maskz
+        else:
+            X = inv_one_plus_gram(G, wz, iters=config.ns_iters, warm=X,
+                                  warm_iters=config.ns_warm_iters)
         return muz, wz, vz, dmuz, X
 
     muz = _zmajor(data.mu)
     wz = _zmajor(data.w) * maskz
-    X0 = _woodbury_inverse(G, wz, iters=config.ns_iters, warm=xinv,
+    X0 = inv_one_plus_gram(G, wz, iters=config.ns_iters, warm=xinv,
                            warm_iters=config.ns_warm_iters)
     init = (muz, wz, _zmajor(data.v), _zmajor(data.dmu), X0)
     muz, wz, vz, dmuz, X = lax.fori_loop(0, niter, sweep, init)
@@ -285,68 +292,97 @@ def mstep(
     Ix = jnp.eye(xdim, dtype=y.dtype)
     pois = params.poisson
     xm = x * m[..., None]
+    # static gating (Params.likelihood_kind): with a pure likelihood mix the
+    # other family's updates are dead work — the per-channel select would
+    # discard them — so skip building them at trace time entirely
+    kind = params.likelihood_kind
+    need_pois = kind != "gaussian"
+    need_gauss = kind != "poisson"
 
-    # data-independent Gaussian normal equations (core.py:224-226)
-    Mg = _psum(jnp.einsum("zst,kst->zk", mum, muz), dist.data)
-    Mg = Mg + jnp.diag(_psum(jnp.sum(vm, axis=(1, 2)), dist.data))
-    xtx = _psum(jnp.einsum("stxn,stqn->nxq", xm, x), dist.data)
-
+    if need_gauss:
+        # data-independent Gaussian normal equations (core.py:224-226)
+        Mg = _psum(jnp.einsum("zst,kst->zk", mum, muz), dist.data)
+        Mg = Mg + jnp.diag(_psum(jnp.sum(vm, axis=(1, 2)), dist.data))
+        xtx = _psum(jnp.einsum("stxn,stqn->nxq", xm, x), dist.data)
     def iteration(_, carry):
         a, b, noise, da, db = carry
         xb = _xb(x, b)
         eta = _eta(muz, a, xb)
-        r = _rates(eta, vz, a)
         noise = _masked_var(y - eta, mask, dist)
-        rm = r * m
         ym = y * m
 
-        # ---- Poisson loading update (core.py:182-200) ----
-        C1 = _psum(jnp.einsum("zst,sty->zy", mum, y - r), dist.data)
-        C2 = _psum(jnp.einsum("zst,sty->zy", vm, r), dist.data)
-        grad_a = C1 - a * C2  # (z, y)
-        grad_b = _psum(jnp.einsum("stxy,sty->xy", x, (ym - rm)), dist.data)
-        if config.use_hessian:
-            # Hessian of -loglik w.r.t. a[:, n], built from shared stats:
-            # (mu + v a_n)' diag(r_n) (mu + v a_n) + diag(r_n' v)
-            E1 = _psum(jnp.einsum("sty,zst,kst->yzk", rm, muz, muz), dist.data)
-            E2 = _psum(jnp.einsum("sty,zst,kst->yzk", rm, vz, muz), dist.data)
-            E3 = _psum(jnp.einsum("sty,zst,kst->yzk", rm, vz, vz), dist.data)
-            an = a.T  # (y, z)
-            nhess = (
-                E1
-                + an[:, :, None] * E2
-                + an[:, None, :] * jnp.swapaxes(E2, 1, 2)
-                + an[:, :, None] * an[:, None, :] * E3
-                + C2.T[:, :, None] * Iz
+        if need_pois:
+            r = _rates(eta, vz, a)
+            rm = r * m
+
+            # ---- Poisson loading update (core.py:182-200) ----
+            C1 = _psum(jnp.einsum("zst,sty->zy", mum, y - r), dist.data)
+            C2 = _psum(jnp.einsum("zst,sty->zy", vm, r), dist.data)
+            grad_a = C1 - a * C2  # (z, y)
+            grad_b = _psum(jnp.einsum("stxy,sty->xy", x, (ym - rm)), dist.data)
+            if config.use_hessian:
+                # Hessian of -loglik w.r.t. a[:, n], built from shared stats:
+                # (mu + v a_n)' diag(r_n) (mu + v a_n) + diag(r_n' v).
+                # (A stacked-factor variant — one einsum over [mu; v] — was
+                # measured perf-neutral on the flagship and reverted to keep
+                # the update bit-identical across likelihood_kind gatings.)
+                E1 = _psum(jnp.einsum("sty,zst,kst->yzk", rm, muz, muz), dist.data)
+                E2 = _psum(jnp.einsum("sty,zst,kst->yzk", rm, vz, muz), dist.data)
+                E3 = _psum(jnp.einsum("sty,zst,kst->yzk", rm, vz, vz), dist.data)
+                an = a.T  # (y, z)
+                nhess = (
+                    E1
+                    + an[:, :, None] * E2
+                    + an[:, None, :] * jnp.swapaxes(E2, 1, 2)
+                    + an[:, :, None] * an[:, None, :] * E3
+                    + C2.T[:, :, None] * Iz
+                )
+                delta_a = jnp.linalg.solve(
+                    nhess + eps * Iz, grad_a.T[..., None]
+                )[..., 0].T
+                # ---- Poisson regression update (core.py:205-218) ----
+                nhess_b = _psum(
+                    jnp.einsum("stxy,sty,stqy->yxq", x, rm, x), dist.data
+                )
+                delta_b = jnp.linalg.solve(
+                    nhess_b + eps * Ix, grad_b.T[..., None]
+                )[..., 0].T
+            else:
+                # gradient mode (core.py:196-197, 215-216): a plain ascent
+                # step delta = learning_rate * grad, same clipping as Newton
+                delta_a = config.learning_rate * grad_a
+                delta_b = config.learning_rate * grad_b
+            delta_a = jnp.clip(delta_a, -config.da_bound, config.da_bound)
+            delta_b = jnp.clip(delta_b, -config.db_bound, config.db_bound)
+
+            a_pois = a + delta_a
+            b_pois = b + delta_b
+
+        if need_gauss:
+            # ---- Gaussian closed form (core.py:221-235) ----
+            rhs_a = _psum(
+                jnp.einsum("zst,sty->zy", mum, y - _xb(x, b)), dist.data
             )
-            delta_a = jnp.linalg.solve(nhess + eps * Iz, grad_a.T[..., None])[..., 0].T
-            # ---- Poisson regression update (core.py:205-218) ----
-            nhess_b = _psum(jnp.einsum("stxy,sty,stqy->yxq", x, rm, x), dist.data)
-            delta_b = jnp.linalg.solve(nhess_b + eps * Ix, grad_b.T[..., None])[..., 0].T
+            a_gauss = jnp.linalg.solve(Mg, rhs_a)
+            resid = ym - _eta(mum, a_gauss, jnp.zeros_like(y))
+            rhs_b = _psum(jnp.einsum("stxy,sty->yx", x, resid), dist.data)
+            b_gauss = jnp.linalg.solve(
+                xtx + eps * Ix, rhs_b[..., None]
+            )[..., 0].T
+            # zero the history-filter rows, keep the bias (core.py:235)
+            b_gauss = b_gauss * (jnp.arange(xdim) == 0)[:, None].astype(b.dtype)
+
+        if not need_gauss:
+            a_new, b_new = a_pois, b_pois
+            da, db = delta_a, delta_b
+        elif not need_pois:
+            a_new, b_new = a_gauss, b_gauss
+            da, db = a_new - a, b_new - b
         else:
-            # gradient mode (core.py:196-197, 215-216): a plain ascent step
-            # delta = learning_rate * grad, same clipping as the Newton path
-            delta_a = config.learning_rate * grad_a
-            delta_b = config.learning_rate * grad_b
-        delta_a = jnp.clip(delta_a, -config.da_bound, config.da_bound)  # (z, y)
-        delta_b = jnp.clip(delta_b, -config.db_bound, config.db_bound)  # (x, y)
-
-        a_pois = a + delta_a
-        b_pois = b + delta_b
-
-        # ---- Gaussian closed form (core.py:221-235) ----
-        rhs_a = _psum(jnp.einsum("zst,sty->zy", mum, y - _xb(x, b)), dist.data)
-        a_gauss = jnp.linalg.solve(Mg, rhs_a)
-        resid = ym - _eta(mum, a_gauss, jnp.zeros_like(y))
-        rhs_b = _psum(jnp.einsum("stxy,sty->yx", x, resid), dist.data)
-        b_gauss = jnp.linalg.solve(xtx + eps * Ix, rhs_b[..., None])[..., 0].T
-        # zero the history-filter rows, keep the bias (core.py:235)
-        b_gauss = b_gauss * (jnp.arange(xdim) == 0)[:, None].astype(b.dtype)
-
-        a_new = jnp.where(pois, a_pois, a_gauss)
-        b_new = jnp.where(pois, b_pois, b_gauss)
-        da = jnp.where(pois, delta_a, a_new - a)
-        db = jnp.where(pois, delta_b, b_new - b)
+            a_new = jnp.where(pois, a_pois, a_gauss)
+            b_new = jnp.where(pois, b_pois, b_gauss)
+            da = jnp.where(pois, delta_a, a_new - a)
+            db = jnp.where(pois, delta_b, b_new - b)
         return a_new, b_new, noise, da, db
 
     a, b, noise, da, db = lax.fori_loop(

@@ -45,7 +45,8 @@ try:  # Pallas is TPU-only in some builds; import lazily-safe
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-__all__ = ["spd_inverse", "spd_solve", "inv_one_plus_psd"]
+__all__ = ["spd_inverse", "spd_solve", "inv_one_plus_psd",
+           "inv_one_plus_gram"]
 
 _LANE = 64  # padded matrix side (fits rank<=64; tiles at (8, 128) f32)
 _BB = 32  # matrices per block: each (32,64,64) f32 buffer is 0.5 MB VMEM
@@ -608,3 +609,346 @@ def _ns_packed_pallas(A, iters: int = 16, x0=None, interpret: bool = False,
         return None, jnp.max(result[:, 0, 0])
     out, resid = result
     return out, jnp.max(resid[:, 0, 0])
+
+
+# ---------------------------------------------------------------------------
+# Fused Gram + Newton-Schulz kernel: X = (I + G' diag(w) G)^{-1} per
+# (latent, segment), with the Gram matrix built IN-KERNEL from the (Z, T, R)
+# prior factor and the (Z, S, T) weights.
+#
+# The E-step calls the packed NS kernel once per Newton sweep on
+# A = G'WG — a (Z, S, R, R) tensor (~64 MB at the flagship config) that XLA
+# materializes to HBM just to feed the kernel, and reads back again for the
+# VB marginal variance v = diag(G X G').  Per sweep that is ~3 full
+# (Z,S,R,R) HBM round-trips of pure data motion (the EM step is
+# bandwidth-bound: TRACE.md measures 240 GB/s sustained).  This kernel
+# instead reads the factor (40 KB) and the weight rows (2 MB) and builds
+# each block's Gram matrices in VMEM; with ``want_v`` it also emits v from
+# the VMEM-resident inverse, so the only (Z,S,R,R)-sized HBM traffic left
+# is the carried inverse itself.  The math is identical to
+# ``inv_one_plus_psd`` on the einsum-built Gram (see tests: interpret-mode
+# parity vs the dense oracle); bf16x3 matmuls throughout, residual-checked
+# at every exit exactly like ``_ns_auto``.
+# ---------------------------------------------------------------------------
+
+# Default ON (VLGP_GRAM_FUSED=0 reverts to the einsum route): the fused
+# path is at numerical parity with the plain route on-device
+# (tools/check_gram_parity.py: dX ~1e-5, dv ~5e-6, warm probe bit-exact)
+# and measures 8.47 vs 7.52 EM it/s on the flagship config (+12%: two of
+# the three per-sweep (Z,S,R,R) HBM round-trips gone).  Its ~1e-5
+# posterior perturbation once re-routed the self-tuned H-step omega
+# trajectory (R^2 0.914 fused vs 0.925-0.936 plain on the reference
+# tutorial workload) — that sensitivity was an H-step defect, fixed by
+# the windowed grid scan + smooth stagger (models/gp.py:_golden_min,
+# api.py omega init): head2head now lands 0.9239 fused vs 0.9229 plain,
+# both above the reference's 0.9212.
+_GRAM_FUSED = _os.environ.get("VLGP_GRAM_FUSED", "1") != "0"
+
+
+def _make_ns_gram_kernel(R: int, T: int, gpt: int, tiles: int, iters: int,
+                         use_x0: bool, S: int, resid_only: bool = False,
+                         want_v: bool = False):
+    RP = 128
+    n = tiles * gpt
+
+    def body(w_ref, g_ref, x0_ref, out_ref, resid_ref, v_ref, mp_ref, xp_ref):
+        Gm = g_ref[0]  # (T, R)
+        dtype = Gm.dtype
+        eyeR = jnp.eye(R, dtype=dtype)
+        pid = pl.program_id(1)
+        base = pid * n
+        tvec = lax.broadcasted_iota(jnp.int32, (tiles, 1, 1), 0)
+
+        def _split(x):
+            hi = x.astype(jnp.bfloat16)
+            return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def _dot(P, Q, dims):
+            return jax.lax.dot_general(
+                P, Q, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+
+        def matmul(P, Q, dims=(((2,), (1,)), ((0,), (0,)))):
+            # bf16x3 (Precision.HIGH): see the packed kernel's rationale
+            ph, pl_ = _split(P)
+            qh, ql = _split(Q)
+            return _dot(ph, qh, dims) + (_dot(ph, ql, dims)
+                                         + _dot(pl_, qh, dims))
+
+        # ---- Gram matrices, VMEM-resident: A_i = G' diag(w_i) G ----
+        wfl = w_ref[0].reshape(n, T)
+        Gb = jnp.broadcast_to(Gm[None], (n, T, R))
+        Gw = wfl[:, :, None] * Gb
+        A = matmul(Gb, Gw, (((1,), (1,)), ((0,), (0,)))).reshape(
+            tiles, gpt, R, R
+        )
+        if use_x0:
+            X0 = x0_ref[0].reshape(tiles, gpt, R, R)
+
+        # ---- pack into block-diagonal 128x128 tiles (tail masked) ----
+        mp_ref[:] = jnp.zeros((tiles, RP, RP), dtype)
+        xp_ref[:] = jnp.zeros((tiles, RP, RP), dtype)
+        for g in range(gpt):
+            lo = g * R
+            valid_g = (base + tvec * gpt + g) < S  # (tiles, 1, 1)
+            Mg = jnp.where(valid_g, A[:, g] + eyeR, eyeR)
+            mp_ref[:, lo : lo + R, lo : lo + R] = Mg
+            if use_x0:
+                xp_ref[:, lo : lo + R, lo : lo + R] = jnp.where(
+                    valid_g, X0[:, g], eyeR
+                )
+            else:
+                lhat = jnp.max(jnp.sum(jnp.abs(Mg), axis=-1), axis=-1)
+                c = (2.0 / (1.0 + lhat))[:, None, None]
+                xp_ref[:, lo : lo + R, lo : lo + R] = c * eyeR
+
+        eyeP = jnp.eye(RP, dtype=dtype)
+
+        def ns(_, X):
+            MX = matmul(mp_ref[:], X)
+            return matmul(X, 2.0 * eyeP[None] - MX)
+
+        rvec = lax.broadcasted_iota(jnp.int32, (RP, RP), 0)
+        cvec = lax.broadcasted_iota(jnp.int32, (RP, RP), 1)
+        blockmask = ((rvec // R) == (cvec // R)) & (rvec < gpt * R)
+        r4 = lax.broadcasted_iota(jnp.int32, (1, 1, 8, 128), 2)
+        c4 = lax.broadcasted_iota(jnp.int32, (1, 1, 8, 128), 3)
+        validf = (base + lax.broadcasted_iota(jnp.int32, (n, 1), 0)) < S
+
+        def block_resid(MX):
+            return jnp.max(
+                jnp.where(blockmask[None], jnp.abs(MX - eyeP[None]), 0.0)
+            )
+
+        def unpack(X):
+            return jnp.stack(
+                [X[:, g * R : g * R + R, g * R : g * R + R]
+                 for g in range(gpt)],
+                axis=1,
+            ).reshape(n, R, R)
+
+        def write(X, resid):
+            resid_ref[:] = jnp.where(
+                (r4 == 0) & (c4 == 0), resid, 0.0
+            ).astype(dtype)
+            Xr = unpack(X)
+            if not resid_only:
+                out_ref[0] = Xr
+            if want_v:
+                # v_i = diag(G X_i G') = rowsum((G X_i) * G)
+                GX = matmul(Gb, Xr)
+                v = jnp.sum(GX * Gb, axis=-1)  # (n, T)
+                v_ref[0] = jnp.where(validf, v, 0.0)
+
+        if resid_only:
+            # warm-start probe: one matmul measures x0's residual; v (when
+            # requested) is emitted from x0 so the accepted branch needs no
+            # further X read
+            MX0 = matmul(mp_ref[:], xp_ref[:])
+            write(xp_ref[:], block_resid(MX0))
+            return
+
+        X = lax.fori_loop(0, iters, ns, xp_ref[:])
+        write(X, block_resid(matmul(mp_ref[:], X)))
+
+    def kernel(*refs):
+        it = iter(refs)
+        w_ref = next(it)
+        g_ref = next(it)
+        x0_ref = next(it) if use_x0 else None
+        out_ref = None if resid_only else next(it)
+        resid_ref = next(it)
+        v_ref = next(it) if want_v else None
+        mp_ref = next(it)
+        xp_ref = next(it)
+        return body(w_ref, g_ref, x0_ref, out_ref, resid_ref, v_ref,
+                    mp_ref, xp_ref)
+
+    return kernel
+
+
+def _gram_tiles(T: int, R: int, budget: int = 9 * 2**20) -> int:
+    """VMEM-aware tile count for the fused Gram kernel.
+
+    Unlike the plain packed kernel, the fused kernel holds (n, T, R)
+    temporaries (Gb, Gw, GX) in VMEM, so its footprint scales with T; at
+    full-trial lengths (T ~ 500) the fixed tiles=16 overflows Mosaic's
+    16 MB scoped-vmem stack (measured 16.57 MB at T=500, R=50).  Budgeted
+    estimate per tile: 3 scratch/MX 128x128 buffers + gpt * (3 T R
+    temporaries + weight row + two R^2 blocks) floats.  Returns 0 when
+    even one tile does not fit (caller falls back to the einsum path).
+    """
+    gpt = max(1, 128 // R)
+    per_tile = 4 * (3 * 128 * 128 + gpt * (3 * T * R + T + 2 * R * R))
+    tiles = int(max(0, min(16, budget // per_tile)))
+    # Mosaic block rule: the (per_block, T) weight/v blocks need their
+    # second-to-last dim (per_block = tiles * gpt) divisible by 8
+    while tiles > 0 and (tiles * gpt) % 8:
+        tiles -= 1
+    return tiles
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iters", "interpret", "resid_only", "want_v"),
+)
+def _ns_gram_pallas(G, w, iters: int = 16, x0=None, interpret: bool = False,
+                    resid_only: bool = False, want_v: bool = False):
+    """Fused (I + G'diag(w)G)^{-1}: G (Z, T, R) f32, w (Z, S, T) f32.
+
+    Returns (X, max_residual, v): X is (Z, S, R, R) or None when
+    ``resid_only``; v is diag(G X G') (Z, S, T) when ``want_v`` else None
+    (from x0 when ``resid_only``).  Residual semantics match
+    :func:`_ns_packed_pallas`.
+    """
+    Z, T, R = G.shape
+    S = w.shape[1]
+    gpt, tiles, per_block, _ = _packed_geometry(S, R, tiles=_gram_tiles(T, R))
+    nblk = -(-S // per_block)  # cdiv: tail block masked in-kernel
+
+    kernel = _make_ns_gram_kernel(R, T, gpt, tiles, iters, x0 is not None, S,
+                                  resid_only=resid_only, want_v=want_v)
+    w_spec = pl.BlockSpec((1, per_block, T), lambda z, i: (z, i, 0),
+                          memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, T, R), lambda z, i: (z, 0, 0),
+                          memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, per_block, R, R), lambda z, i: (z, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, per_block, T), lambda z, i: (z, i, 0),
+                          memory_space=pltpu.VMEM)
+    resid_spec = pl.BlockSpec((1, 1, 8, 128), lambda z, i: (z, i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    resid_shape = jax.ShapeDtypeStruct((Z, nblk, 8, 128), jnp.float32)
+
+    in_specs = [w_spec, g_spec]
+    args = [w, G]  # kernel reads (w_ref, g_ref, ...) in that order
+    if x0 is not None:
+        in_specs.append(x_spec)
+        args.append(x0)
+    out_shape, out_specs = [], []
+    if not resid_only:
+        out_shape.append(jax.ShapeDtypeStruct((Z, S, R, R), G.dtype))
+        out_specs.append(x_spec)
+    out_shape.append(resid_shape)
+    out_specs.append(resid_spec)
+    if want_v:
+        out_shape.append(jax.ShapeDtypeStruct((Z, S, T), G.dtype))
+        out_specs.append(v_spec)
+
+    result = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        grid=(Z, nblk),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((tiles, 128, 128), jnp.float32),
+            pltpu.VMEM((tiles, 128, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+
+    result = list(result)
+    X = None if resid_only else result.pop(0)
+    resid = jnp.max(result.pop(0)[:, :, 0, 0])
+    v = result.pop(0) if want_v else None
+    return X, resid, v
+
+
+def inv_one_plus_gram(G, w, iters: int = 16, force: str | None = None,
+                      warm: Optional[jnp.ndarray] = None,
+                      warm_iters: int = 8, probe: bool = True,
+                      want_v: bool = False):
+    """X = (I + G' diag(w) G)^{-1} for every (latent, segment) pair,
+    with the Gram matrix fused into the TPU kernel.
+
+    G: (Z, T, R) low-rank prior factors; w: (Z, S, T) nonnegative weights.
+    Returns X (Z, S, R, R), or (X, v) with ``want_v`` where
+    v = diag(G X G') is the VB marginal posterior variance (core.py:110,
+    445-471) computed from the kernel's VMEM-resident inverse.
+
+    Semantics (warm start, probe, residual-checked fallbacks) match
+    :func:`inv_one_plus_psd` on the einsum-built Gram — which is exactly
+    the fallback executed on CPU / f64 / ``force="xla"`` paths, keeping
+    the f64 oracle tests bit-compatible with the pre-fusion code.
+    """
+    Z, T, R = G.shape
+
+    def plain():
+        A = jnp.einsum("ztr,zst,ztq->zsrq", G, w, G)
+        X = inv_one_plus_psd(A, iters=iters, warm=warm,
+                             warm_iters=warm_iters, probe=probe,
+                             force="xla" if force == "xla" else None)
+        if want_v:
+            return X, jnp.einsum("ztr,zsrq,ztq->zst", G, X, G)
+        return X
+
+    forced = force in ("gram", "interpret")
+    eligible = (
+        _HAS_PALLAS and G.dtype == jnp.float32
+        and R <= 128 and force != "xla" and _gram_tiles(T, R) >= 1
+        # an explicit force= always exercises the kernel; the env default
+        # only governs auto dispatch.  CPU-only processes (tests, dryrun)
+        # would trace the Pallas branch into every executable just to
+        # discard it at lowering, so auto dispatch also requires a
+        # non-CPU default backend.
+        and (forced or (_GRAM_FUSED and jax.default_backend() != "cpu"))
+    )
+    if not eligible:
+        return plain()
+
+    def fused():
+        return _gram_auto(G, w, iters, warm, warm_iters, probe, want_v,
+                          interpret=force == "interpret")
+
+    if forced:
+        return fused()
+    return lax.platform_dependent(tpu=fused, default=plain)
+
+
+def _gram_auto(G, w, iters, warm, warm_iters, probe, want_v,
+               interpret=False):
+    """Residual-checked fused-Gram NS with the `_ns_auto` fallback net:
+    cold -> escalate -> exact Cholesky; warm -> probe/refine -> cold."""
+    Z, T, R = G.shape
+
+    def pack(X, v):
+        return (X, v) if want_v else X
+
+    def kern(n_iters, x0=None, resid_only=False):
+        return _ns_gram_pallas(G, w, iters=n_iters, x0=x0,
+                               interpret=interpret, resid_only=resid_only,
+                               want_v=want_v)
+
+    def exact():
+        A = jnp.einsum("ztr,zst,ztq->zsrq", G, w, G)
+        Xe = _spd_inverse_xla(A + jnp.eye(R, dtype=G.dtype))
+        if want_v:
+            return Xe, jnp.einsum("ztr,zsrq,ztq->zst", G, Xe, G)
+        return Xe
+
+    def cold():
+        X, resid, v = kern(iters)
+
+        def escalate():
+            X2, r2, v2 = kern(iters, x0=X)
+            return _checked(pack(X2, v2), r2, exact)
+
+        return _checked(pack(X, v), resid, escalate)
+
+    if warm is None:
+        return cold()
+
+    def refine():
+        Xw, resid, vw = kern(warm_iters, x0=warm)
+        return _checked(pack(Xw, vw), resid, cold)
+
+    if not probe:
+        return refine()
+    _, resid0, v0 = kern(0, x0=warm, resid_only=True)
+    return lax.cond(
+        jnp.isfinite(resid0) & (resid0 < _RESID_TOL),
+        lambda: pack(warm, v0),
+        refine,
+    )

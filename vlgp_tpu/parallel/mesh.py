@@ -163,6 +163,12 @@ def pad_channels(
         poisson=jax.numpy.concatenate(
             [params.poisson, jax.numpy.zeros(pad, params.poisson.dtype)]
         ),
+        # padded channels are Gaussian-marked (their closed-form update is
+        # what keeps a=0 columns inert), so an all-Poisson model becomes
+        # "mixed" once padded — the static M-step gating must see that
+        likelihood_kind=(
+            "gaussian" if params.likelihood_kind == "gaussian" else "mixed"
+        ),
     )
     return data, params
 

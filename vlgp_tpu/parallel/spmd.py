@@ -51,7 +51,8 @@ def _trialset_specs() -> TrialSet:
     )
 
 
-def _params_specs(gp_noise: float, dt: float, rank: int) -> Params:
+def _params_specs(gp_noise: float, dt: float, rank: int,
+                  likelihood_kind: str = "mixed") -> Params:
     """Spec pytree for Params; the scalar statics must match the instance's
     (they ride the treedef and shard_map compares structures)."""
     return Params(
@@ -59,6 +60,7 @@ def _params_specs(gp_noise: float, dt: float, rank: int) -> Params:
         sigma=P(), omega=P(), poisson=P("model"),
         da=P(None, "model"), db=P(None, "model"),
         gp_noise=gp_noise, dt=dt, rank=rank,
+        likelihood_kind=likelihood_kind,
     )
 
 
@@ -71,14 +73,14 @@ def sharded_em_step(mesh: Mesh, config: Config, data: TrialSet, params: Params):
     (review-r3: the per-call rebuild recompiled the SPMD graph every fit).
     """
     return _em_step_cached(mesh, _jit_key(config), params.gp_noise,
-                           params.dt, params.rank)
+                           params.dt, params.rank, params.likelihood_kind)
 
 
 @functools.lru_cache(maxsize=32)
-def _em_step_cached(mesh, config, gp_noise, dt, rank):
+def _em_step_cached(mesh, config, gp_noise, dt, rank, lik_kind="mixed"):
     em = make_em_step(config, DIST, carry_xinv=True)
     dspec = _trialset_specs()
-    pspec = _params_specs(gp_noise, dt, rank)
+    pspec = _params_specs(gp_noise, dt, rank, lik_kind)
     norm_spec = {k: P() for k in _NORM_KEYS}
     fn = shard_map(
         em,
@@ -104,14 +106,14 @@ def sharded_em_scan(mesh: Mesh, config: Config, data: TrialSet,
     (mesh, config, k), not once per call.
     """
     return _em_scan_cached(mesh, _jit_key(config), k, params.gp_noise,
-                           params.dt, params.rank)
+                           params.dt, params.rank, params.likelihood_kind)
 
 
 @functools.lru_cache(maxsize=32)
-def _em_scan_cached(mesh, config, k, gp_noise, dt, rank):
+def _em_scan_cached(mesh, config, k, gp_noise, dt, rank, lik_kind="mixed"):
     em = make_em_step(config, DIST, carry_xinv=True)
     dspec = _trialset_specs()
-    pspec = _params_specs(gp_noise, dt, rank)
+    pspec = _params_specs(gp_noise, dt, rank, lik_kind)
     norm_spec = {key: P() for key in _NORM_KEYS}
 
     def run(data, params, G, xinv):
@@ -141,13 +143,14 @@ def sharded_infer(mesh: Mesh, config: Config, data: TrialSet, params: Params,
     like :func:`sharded_em_step`."""
     n = config.max_iter if niter is None else niter
     return _infer_cached(mesh, _jit_key(config), n, params.gp_noise,
-                         params.dt, params.rank)
+                         params.dt, params.rank, params.likelihood_kind)
 
 
 @functools.lru_cache(maxsize=32)
-def _infer_cached(mesh, config, niter, gp_noise, dt, rank):
+def _infer_cached(mesh, config, niter, gp_noise, dt, rank,
+                  lik_kind="mixed"):
     dspec = _trialset_specs()
-    pspec = _params_specs(gp_noise, dt, rank)
+    pspec = _params_specs(gp_noise, dt, rank, lik_kind)
 
     def body(d, p, g):
         return estep(d, p, g, config, niter=niter, dist=DIST)

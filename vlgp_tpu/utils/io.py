@@ -52,6 +52,7 @@ def save(result, path) -> pathlib.Path:
             "gp_noise": result.params.gp_noise,
             "dt": result.params.dt,
             "rank": result.params.rank,
+            "likelihood_kind": result.params.likelihood_kind,
         },
         "runtime": result.runtime,
     }
@@ -248,7 +249,9 @@ def save_params(params: Params, path) -> pathlib.Path:
     arrays = {f: np.asarray(getattr(params, f)) for f in _PARAM_FIELDS}
     arrays["_scalars"] = np.frombuffer(
         json.dumps(
-            {"gp_noise": params.gp_noise, "dt": params.dt, "rank": params.rank}
+            {"gp_noise": params.gp_noise, "dt": params.dt,
+             "rank": params.rank,
+             "likelihood_kind": params.likelihood_kind}
         ).encode(),
         dtype=np.uint8,
     )

@@ -143,7 +143,12 @@ def test_hstep_fixed_point_matches_reference():
 
     from vlgp_tpu.models.gp import hstep
 
-    config = default_config(dtype="float64", window=T)
+    # hyper_learn_sigma=False: this oracle pins the REFERENCE-MATCHED
+    # fixed-sigma objective (the ref's gradient mask never moves sigma,
+    # gp.py:77-91); the profiled-sigma default optimizes a deliberately
+    # different objective and lands a different fixed point.
+    config = default_config(dtype="float64", window=T,
+                            hyper_learn_sigma=False)
     p = params
     for _ in range(15):
         om_prev = np.asarray(p.omega).copy()

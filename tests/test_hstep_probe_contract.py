@@ -60,9 +60,17 @@ def _omega_fixed_point(state, iters=12):
 
 def test_hstep_polish_matches_golden24_fixed_point(state):
     """hyper_iters=12 + parabolic polish must land on the same fixed point
-    as the default 24-shrink golden search (models/gp.py:_golden_min)."""
+    as the 24-shrink golden search (models/gp.py:_golden_min).
+
+    Pinned at hyper_grid=0 / hyper_learn_sigma=False: the contract is
+    about golden-bracket PRECISION, which is only well-posed on the
+    continuous fixed-sigma path — with the grid + profiled-sigma
+    defaults, the 12-vs-24 shrink difference perturbs the joint
+    (omega, sigma) fixed point and near-tied basins legitimately resolve
+    differently (this fixture deliberately initializes one latent sharp)."""
     seg, params, G, config, xinv = state
-    cfgs = (config, config.replace(hyper_iters=12, hyper_polish=True))
+    base = config.replace(hyper_grid=0, hyper_learn_sigma=False)
+    cfgs = (base, base.replace(hyper_iters=12, hyper_polish=True))
     oms = []
     for cfg in cfgs:
         p = params

@@ -119,3 +119,65 @@ def test_nystrom_healthy_path_unchanged():
     G = np.asarray(nystrom_gauss_batch(n, omega, rank))
     K = dense_se(n, 1e-2)
     assert np.abs(K - G[0] @ G[0].T).max() < 1e-3
+
+
+def test_golden_min_grid_escapes_local_minimum():
+    """_golden_min with grid >= 3 is a GLOBAL search: a wide shallow local
+    minimum must not capture the shrinks when a deeper narrow basin exists
+    elsewhere in the box (exactly the H-step's sharp-basin trap — plain
+    golden section assumes unimodality and tracks whichever minimum its
+    first probes straddle)."""
+    from vlgp_tpu.models.gp import _golden_min
+
+    def f(x):
+        # deep narrow minimum at 8, wide shallow one at 2
+        return -2.0 * jnp.exp(-(((x - 8.0) / 0.5) ** 2)) - jnp.exp(
+            -(((x - 2.0) / 3.0) ** 2)
+        )
+
+    lo = jnp.asarray([0.0])
+    hi = jnp.asarray([10.0])
+    x_plain = float(_golden_min(f, lo, hi, 24)[0])
+    x_grid = float(_golden_min(f, lo, hi, 24, grid=13)[0])
+    assert abs(x_plain - 2.0) < 0.5, x_plain  # golden alone gets trapped
+    assert abs(x_grid - 8.0) < 0.01, x_grid  # the scan pins the true basin
+
+
+def test_golden_min_grid_tiebreak_prefers_smooth():
+    """Near-tied basins (within the relative tolerance) must resolve to the
+    SMALLEST x deterministically — a float-noise-scale perturbation of the
+    objective must not flip the choice."""
+    from vlgp_tpu.models.gp import _golden_min
+
+    def make_f(eps):
+        def f(x):
+            # two equally deep minima at 2 and 8; eps nudges the deep one
+            return (
+                -jnp.exp(-(((x - 2.0) / 0.4) ** 2))
+                - (1.0 + eps) * jnp.exp(-(((x - 8.0) / 0.4) ** 2))
+                - 1.0  # keep |fmin| O(1) so the relative tol is meaningful
+            )
+        return f
+
+    lo, hi = jnp.asarray([0.0]), jnp.asarray([10.0])
+    # +/- noise-scale perturbations of the right basin: choice must not move
+    for eps in (-1e-6, 0.0, 1e-6):
+        x = float(_golden_min(make_f(eps), lo, hi, 24, grid=21)[0])
+        assert abs(x - 2.0) < 0.01, (eps, x)
+    # a perturbation ABOVE the tolerance is a real difference: follow it
+    x = float(_golden_min(make_f(5e-3), lo, hi, 24, grid=21)[0])
+    assert abs(x - 8.0) < 0.01, x
+
+
+def test_golden_min_grid_matches_plain_when_unimodal():
+    from vlgp_tpu.models.gp import _golden_min
+
+    def f(x):
+        return (x - 3.3) ** 2
+
+    lo = jnp.asarray([0.0, 1.0])
+    hi = jnp.asarray([10.0, 9.0])
+    x_plain = np.asarray(_golden_min(f, lo, hi, 30))
+    x_grid = np.asarray(_golden_min(f, lo, hi, 30, grid=9))
+    assert np.abs(x_plain - 3.3).max() < 1e-3
+    assert np.abs(x_grid - 3.3).max() < 1e-3

@@ -15,14 +15,21 @@ from vlgp_tpu.models.driver import make_em_step
 from vlgp_tpu.models.gp import make_cholesky
 from vlgp_tpu.models.vlgp import update_w
 
-# recorded from the round-1 implementation (f64 CPU, seeds below)
+# recorded from the round-1 implementation (f64 CPU, seeds below);
+# re-pinned round 3 when the H-step grid scan (hyper_grid=13) and
+# profiled-sigma learning (hyper_learn_sigma) became the defaults — mu/a
+# norms at iters 1-2 are bit-identical to the round-1 lineage, the
+# omega/sigma trajectories differ through the new H-step objective.
 PINNED = {
     1: dict(mu=1.1626145339e01, a=3.3992684664e00,
-            omega=(8.8900697865e-03, 9.4316254794e-03)),
+            omega=(6.9743207559e-03, 8.5977527082e-03),
+            sigma=(1.0144567074e00, 1.0102216104e00)),
     2: dict(mu=1.0147923396e03, a=1.2186042399e00,
-            omega=(8.1844797911e-03, 9.3179439604e-03)),
-    3: dict(mu=1.0871737534e03, a=1.2472786100e00,
-            omega=(7.4070387112e-03, 9.1615599980e-03)),
+            omega=(6.0719605920e-03, 7.9979490837e-03),
+            sigma=(1.0152334376e00, 1.0142490930e00)),
+    3: dict(mu=1.1382491745e03, a=1.2192108575e00,
+            omega=(5.4709997342e-03, 7.6080215553e-03),
+            sigma=(1.0144641732e00, 1.0152549430e00)),
 }
 
 
@@ -54,3 +61,5 @@ def test_em_trajectory_pinned():
         assert np.isclose(float(norms["a"]), pin["a"], rtol=1e-5), (it, norms)
         om = np.asarray(params.omega)
         assert np.allclose(om, pin["omega"], rtol=1e-4), (it, om)
+        sg = np.asarray(params.sigma)
+        assert np.allclose(sg, pin["sigma"], rtol=1e-5), (it, sg)

@@ -116,7 +116,17 @@ def main():
                     help="run ours with the reference's learned omegas "
                          "(Hstep off) instead of self-tuned")
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
+    ap.add_argument("--kw", action="append", default=[],
+                    help="extra fit() kwargs as key=value (A/B config "
+                         "knobs, e.g. --kw hyper_grid=0)")
     args = ap.parse_args()
+    kw = {}
+    for item in args.kw:
+        k, v = item.split("=", 1)
+        try:
+            kw[k] = json.loads(v)
+        except json.JSONDecodeError:
+            kw[k] = v
 
     if args.cpu:
         import jax
@@ -133,17 +143,19 @@ def main():
         REF_CACHE.write_text(json.dumps(ref, indent=1))
 
     if args.at_ref_omegas:
-        r2, _ = fit_ours(y, x, omega=np.asarray(ref["ref_omega"]),
-                         Hstep=False)
+        r2, res = fit_ours(y, x, omega=np.asarray(ref["ref_omega"]),
+                           Hstep=False, **kw)
         mode = "at_ref_omegas"
     else:
-        r2, _ = fit_ours(y, x)
+        r2, res = fit_ours(y, x, **kw)
         mode = "self_tuned"
+    ours_omega = [float(v) for v in np.asarray(res.params.omega)]
 
     print(json.dumps({
         "mode": mode,
         "ours_r2": round(r2, 4),
         "ref_r2": round(ref["ref_r2"], 4),
+        "ours_omega": ours_omega,
         "ref_omega": ref["ref_omega"],
         "beats_ref": bool(r2 >= ref["ref_r2"]),
     }))

@@ -1,0 +1,100 @@
+"""Generalization check for the head-to-head configuration: an INDEPENDENT
+draw of the reference tutorial workload (different simulator seed, same
+shapes/budget), fit by both engines.
+
+Guards against tuning the omega-init/H-step defaults to the single seeded
+benchmark draw that tools/head2head.py scores.  Usage:
+
+    python tools/indep_draw.py [--seed 1] [--ref]
+
+--ref (re)measures the reference fit for the seed (CPU NumPy, ~4 min) and
+caches it in INDEP_DRAW_REF.json; without it only ours runs.
+"""
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tests"))
+sys.path.insert(0, str(ROOT / "tools"))
+
+from head2head import DIM, NBIN, NNEURON, NTRIAL, fit_ours, r2_aligned  # noqa: E402
+
+REF_CACHE = ROOT / "INDEP_DRAW_REF.json"
+
+
+def simulate(seed):
+    """head2head.simulate with a different RNG seed (fresh Lorenz initial
+    condition, loading matrix, and spike draw)."""
+    from refshim import load_reference
+
+    assert load_reference() is not None, "reference unavailable"
+    from scipy import stats
+    from vlgp import simulation
+
+    np.random.seed(seed)
+    skip = 500
+    lor = simulation.lorenz(
+        skip + NTRIAL * NBIN, dt=5e-3, s=10, r=28, b=2.667,
+        x0=np.random.random(DIM),
+    )
+    lor = stats.zscore(lor[skip:, :])
+    x = lor.reshape((NTRIAL, NBIN, DIM))
+    bias = np.log(15 / NBIN)
+    one = np.ones(NNEURON)
+    a = (np.random.rand(DIM, NNEURON) + 1) * np.sign(
+        np.random.randn(DIM, NNEURON)
+    )
+    b = np.vstack((bias * one, -10 * one, -10 * one, -3 * one, -3 * one,
+                   -3 * one, -3 * one, -2 * one, -2 * one, -1 * one,
+                   -1 * one))
+    y, _, _ = simulation.spike(x, a, b)
+    return y, x
+
+
+def fit_reference(y, x):
+    from refshim import load_reference
+
+    assert load_reference() is not None, "reference unavailable"
+    import vlgp
+
+    np.random.seed(0)
+    trials = [{"ID": i, "y": yy} for i, yy in enumerate(y)]
+    fit = vlgp.fit(trials, n_factors=DIM, max_iter=20, min_iter=10)
+    mu = np.concatenate([t["mu"] for t in fit["trials"]])
+    return r2_aligned(mu, x.reshape(-1, DIM))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--ref", action="store_true")
+    args = ap.parse_args()
+
+    y, x = simulate(args.seed)
+    cache = {}
+    if REF_CACHE.exists():
+        cache = json.loads(REF_CACHE.read_text())
+    key = str(args.seed)
+    if args.ref and key not in cache:
+        cache[key] = fit_reference(y, x)
+        REF_CACHE.write_text(json.dumps(cache))
+
+    r2, res = fit_ours(y, x)
+    out = {
+        "seed": args.seed,
+        "ours_r2": round(r2, 4),
+        "ours_omega": [float(v) for v in np.asarray(res.params.omega)],
+    }
+    if key in cache:
+        out["ref_r2"] = round(cache[key], 4)
+        out["beats_ref"] = bool(r2 >= cache[key])
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

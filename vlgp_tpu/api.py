@@ -120,18 +120,25 @@ def _prepare(
 
     if omega is None and config.omega_init == "staggered" and n_factors > 1:
         # Log-uniform stagger over the SMOOTH side of the omega box.
-        # The H-step fixed point is locally attracting (models/gp.py): a
-        # latent initialized sharper than ~hi/3 settles at a
-        # self-consistent sharp solution that tracks likelihood noise and
-        # never smooths out (measured: an init at 1.6e-2 sat frozen for
-        # all 20 EM iterations while its siblings descended to ~6e-4).
-        # Starting in [1.2*lo, 12*lo] keeps every latent inside the
-        # smooth basin while preserving the symmetry-breaking diversity —
-        # head-to-head on the reference's own tutorial data this scores
-        # R^2 0.936 vs the reference's 0.921 (tools/head2head.py).
+        # The H-step fixed point is strongly init-dominated (models/gp.py:
+        # the fixed-posterior objective self-reinforces whatever roughness
+        # the posterior already encodes, so each latent's omega mostly
+        # *stays near its init* and drifts slowly — measured trajectories
+        # move ~1-5%/EM iteration).  A latent initialized sharp settles at
+        # a self-consistent sharp solution that tracks likelihood noise
+        # and never smooths out (measured: inits at 1.6e-2 and 6e-3 both
+        # sat frozen for all 20 EM iterations while their siblings
+        # descended to ~5e-4).  Starting in [1.2*lo, 4*lo] keeps every
+        # latent on the smooth side while preserving the symmetry-breaking
+        # diversity the coordinate-ascent H-step needs.  Head-to-head on
+        # the reference's own tutorial data (tools/head2head.py) this
+        # scores R^2 0.923-0.924 vs the reference's 0.921, STABLY: the
+        # fused-kernel and plain E-step paths land within 0.001 of each
+        # other (the old 12*lo span scored 0.914-0.936 depending on
+        # ~1e-5 kernel-level perturbations — a chaos band, not a number).
         lo, hi = config.omega_bound
         bottom = min(lo * 1.2, hi)
-        top = max(min(lo * 12, hi / 3), bottom)  # narrow boxes: stay inside
+        top = max(min(lo * 4, hi / 3), bottom)  # narrow boxes: stay inside
         omega = np.clip(
             np.logspace(np.log10(bottom), np.log10(top), n_factors), lo, hi
         )

@@ -57,6 +57,46 @@ class Config:
     # reference-matched 24-shrink default stands.
     hyper_iters: int = 24
     hyper_polish: bool = False
+    # hyper_grid >= 3 prepends a coarse scan to every golden search: the
+    # candidate objective is evaluated at hyper_grid log-spaced omegas
+    # (ONE batched Cholesky — candidates ride the leading batch dim of
+    # gp_elbo_stats) and the golden shrinks run inside the bracket around
+    # the best candidate.  Golden section alone assumes a unimodal
+    # objective; the GP-ELBO in omega is not (the H-step fixed point has
+    # a sharp-basin attractor, see omega_init), so plain golden makes the
+    # *basin* choice an accident of float noise in the posterior
+    # statistic — measured: a 1e-5 E-step perturbation moved self-tuned
+    # R^2 on the reference tutorial workload by 0.02.  The scan makes the
+    # choice deterministic in the scanned box.  0 disables.
+    hyper_grid: int = 13
+    # optional log-radius restricting the grid scan to a box around each
+    # latent's RUNNING omega (natural log; 1.1513 = half a decade);
+    # 0 (default) scans the full omega box.  Measured on the reference
+    # tutorial workload with the [1.2lo, 4lo] stagger: the full-box scan
+    # keeps each latent locked to its init's basin (R^2 0.9243-0.9247,
+    # plain and fused paths agreeing to 4e-4), while the windowed scan's
+    # chain of local argmins lets a latent drift OUT of a good basin
+    # (R^2 0.9195) — local scans follow shallow downhill paths that a
+    # global comparison against the locked basin rejects.  The knob stays
+    # for workloads whose omega moves genuinely far during the fit.
+    hyper_window: float = 0.0
+    # relative objective tolerance for the grid stage's smooth-preferring
+    # tie-break (see models/gp.py:_golden_min): candidates within
+    # hyper_tiebreak * |min| of the best are treated as tied and the
+    # smoothest wins, making the basin choice deterministic under
+    # float-scale input noise (kernel precision, psum reduction order)
+    hyper_tiebreak: float = 1e-4
+    # learn the GP amplitude sigma jointly with omega: the H-step
+    # objective profiles sigma^2 out in closed form per candidate
+    # (models/gp.py:gp_elbo_stats) and hstep updates params.sigma at the
+    # accepted omega.  The reference pins sigma at its init with a
+    # gradient mask (gp.py:77-91); the profile form is the consistent
+    # extension of the same fixed-posterior objective, costs nothing (the
+    # trace and logdet are already computed per candidate), and measured
+    # +0.003 self-tuned R^2 on the reference tutorial workload (0.9270
+    # vs 0.9243, reference 0.9212).  Set False for reference-matched
+    # fixed-amplitude behavior.
+    hyper_learn_sigma: bool = True
     # Newton-Schulz iteration counts for the TPU batched-inverse path
     # (ops/spd.py): cold start, and warm-started refinements inside the
     # E-step sweep loop
@@ -64,13 +104,14 @@ class Config:
     ns_warm_iters: int = 4
     # omega initialization when not user-supplied: "staggered" spreads the
     # latents log-uniformly over the SMOOTH side of the omega box
-    # ([1.2*lo, 12*lo]) — latents are exchangeable, so this breaks the
+    # ([1.2*lo, 4*lo]) — latents are exchangeable, so this breaks the
     # symmetry that makes the coordinate-ascent H-step crawl when every
     # latent starts at the same value, while keeping every latent out of
-    # the sharp-basin trap (the H-step fixed point is locally attracting;
-    # an init sharper than ~hi/3 freezes there and tracks noise — see
-    # api.py:_prepare).  "bound" reproduces the reference's
-    # all-at-upper-bound init (preprocess.py:74)
+    # the sharp-basin trap (the H-step fixed point is strongly
+    # init-dominated; a latent initialized sharp freezes at a
+    # noise-tracking solution — measured trajectories in api.py:_prepare).
+    # "bound" reproduces the reference's all-at-upper-bound init
+    # (preprocess.py:74)
     omega_init: str = "staggered"
     # checkpointing
     saving_interval: float = 1800.0

@@ -171,7 +171,8 @@ def gp_elbo(log_omega, mu, Sig, T: int, sigmasq, gp_noise, dt,
     return _psum(ll_local, dist.data)
 
 
-def _golden_min(f, lo, hi, iters: int, polish: bool = False):
+def _golden_min(f, lo, hi, iters: int, polish: bool = False, grid: int = 0,
+                tiebreak: float = 1e-4):
     """Fixed-iteration golden-section minimization on [lo, hi].
 
     f must be vectorizable over its scalar argument's batch dims.
@@ -182,12 +183,51 @@ def _golden_min(f, lo, hi, iters: int, polish: bool = False):
     precision from roughly half the shrinks, halving the sequential
     Cholesky chain that dominates the H-step.
 
-    (A batched k-section variant — k candidates per shrink as one batched
-    Cholesky — was tried and measured 7x SLOWER on TPU: gp_elbo_stats's
-    cost is the (T, T) triangular solves, which scale with the candidate
-    batch, not a latency floor.  Golden section's single fresh candidate
-    per step is the right shape here.)
+    ``grid >= 3`` prepends a GLOBAL stage: f is evaluated at ``grid``
+    evenly spaced candidates (one call — the candidates ride f's leading
+    batch dim, so on TPU this is a single batched Cholesky, NOT ``grid``
+    sequential ones) and the golden shrinks then run inside the
+    two-cell bracket around the best candidate.  Golden section alone
+    assumes unimodality; the H-step objective is not unimodal (it has a
+    sharp-basin local attractor), so without the scan the basin choice
+    is decided by whichever local minimum the first probes happen to
+    straddle — i.e. by float noise in the inputs.
+
+    ``tiebreak`` makes the scan's basin choice ROBUST as well as global:
+    among candidates within ``tiebreak * |fmin|`` of the best objective,
+    the first (smallest-x, for the H-step: smoothest-omega) one wins.
+    Without it the argmin over near-tied basins is decided by float-scale
+    noise in f's inputs — measured: the fused Gram kernel's ~1e-5
+    posterior perturbation flipped the basin on the reference tutorial
+    workload and moved self-tuned R^2 by 0.012, and the psum reduction
+    order did the same between shardings.  Near-tied basins are
+    statistically indistinguishable to the objective, so the choice must
+    be a deterministic convention, not noise; smoother is the
+    conservative (Occam) side, and 1e-4 relative is far below any
+    meaningful ELBO resolution while 10x above the observed noise.
+
+    (A batched k-section variant — k candidates per EVERY shrink — was
+    tried and measured 7x SLOWER on TPU: gp_elbo_stats's cost is the
+    (T, T) triangular solves, which scale with the candidate batch.
+    One batched scan up front costs ~3% EM throughput on the flagship
+    config — the cheap point on that curve.)
     """
+    if grid >= 3:
+        frac = jnp.arange(grid, dtype=jnp.result_type(lo)) / (grid - 1)
+        cand = lo[None] + frac[:, None] * (hi - lo)[None]  # (grid, Z)
+        fcand = f(cand)  # (grid, Z)
+        fmin = jnp.min(fcand, axis=0)  # (Z,)
+        near = fcand <= fmin + tiebreak * jnp.abs(fmin)
+        # first near-tied candidate = smallest x (argmax returns the first
+        # True); with an all-NaN column this is 0 and the H-step's
+        # at-bound rejection keeps the previous omega
+        best = jnp.argmax(near, axis=0)  # (Z,)
+        lo = jnp.take_along_axis(
+            cand, jnp.maximum(best - 1, 0)[None], axis=0
+        )[0]
+        hi = jnp.take_along_axis(
+            cand, jnp.minimum(best + 1, grid - 1)[None], axis=0
+        )[0]
     phi = 0.6180339887498949
     c = hi - phi * (hi - lo)
     d = lo + phi * (hi - lo)
@@ -223,7 +263,8 @@ def _golden_min(f, lo, hi, iters: int, polish: bool = False):
     return jnp.where(ok, x_star, mid)
 
 
-def gp_elbo_stats(log_omega, C, nseg, T: int, sigmasq, gp_noise, dt):
+def gp_elbo_stats(log_omega, C, nseg, T: int, sigmasq, gp_noise, dt,
+                  profile_sigma: bool = False):
     """GP-prior ELBO from the (T, T) sufficient statistic
     C = sum_i (mu_i mu_i' + S_i):
 
@@ -234,12 +275,22 @@ def gp_elbo_stats(log_omega, C, nseg, T: int, sigmasq, gp_noise, dt):
     what makes the bounded H-step search cheap on accelerators.
     ``log_omega`` may carry leading batch dims (candidates evaluated as one
     batched Cholesky).
+
+    ``profile_sigma`` maximizes over the GP amplitude sigma^2 in CLOSED
+    FORM per candidate (the reference masks sigma, gp.py:77): with
+    K = s * K0, ll(s) = -q/(2s) - nseg (T/2 log s + logdet chol(K0)) where
+    q = tr(K0^-1 C), so s* = q / (nseg T) and no extra factorization is
+    needed.  The ridge is folded into K0 (equivalent to scaling gp_noise
+    with the amplitude — an O(gp_noise) reparameterization).  s* is
+    clipped to [1e-2, 1e2]: a dead latent (C -> 0) otherwise sends the
+    profile likelihood to +inf as s -> 0.  Returns (ll*, s*).
     """
     log_omega = jnp.asarray(log_omega)
     om = jnp.exp(log_omega).reshape(log_omega.shape + (1, 1))
     t = jnp.arange(T, dtype=C.dtype) * dt
     dsq = (t[:, None] - t[None, :]) ** 2
-    K = sigmasq * jnp.exp(-om * dsq) + gp_noise * jnp.eye(T, dtype=C.dtype)
+    amp = 1.0 if profile_sigma else sigmasq
+    K = amp * jnp.exp(-om * dsq) + gp_noise * jnp.eye(T, dtype=C.dtype)
     L = jnp.linalg.cholesky(K)
     Cb = jnp.broadcast_to(C, K.shape)
     half = lax.linalg.triangular_solve(L, Cb, left_side=True, lower=True)
@@ -248,7 +299,10 @@ def gp_elbo_stats(log_omega, C, nseg, T: int, sigmasq, gp_noise, dt):
     )
     logdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
     tr = jnp.trace(KinvC, axis1=-2, axis2=-1)
-    return -0.5 * tr - nseg * logdet
+    if not profile_sigma:
+        return -0.5 * tr - nseg * logdet
+    s = jnp.clip(tr / (nseg * T), 1e-2, 1e2)
+    return -0.5 * tr / s - nseg * (0.5 * T * jnp.log(s) + logdet), s
 
 
 def hstep(
@@ -350,13 +404,29 @@ def hstep(
         C = Mbar + SigSum
 
         def obj(log_omega):
+            if config.hyper_learn_sigma:
+                ll, _ = gp_elbo_stats(
+                    log_omega, C, nseg_total, T, sigsq, params.gp_noise,
+                    params.dt, profile_sigma=True,
+                )
+                return -ll
             return -gp_elbo_stats(
                 log_omega, C, nseg_total, T, sigsq, params.gp_noise,
                 params.dt,
             )
 
-        return _golden_min(obj, lo, hi, config.hyper_iters,
-                           polish=config.hyper_polish), X
+        # grid scans run in a window around the RUNNING omega (see
+        # config.hyper_window): local enough not to teleport across
+        # basins, wide enough that the fixed point walks freely
+        if config.hyper_grid >= 3 and config.hyper_window > 0:
+            lo_s = jnp.clip(log_om - config.hyper_window, lo, hi)
+            hi_s = jnp.clip(log_om + config.hyper_window, lo, hi)
+        else:
+            lo_s, hi_s = lo, hi
+        return _golden_min(obj, lo_s, hi_s, config.hyper_iters,
+                           polish=config.hyper_polish,
+                           grid=config.hyper_grid,
+                           tiebreak=config.hyper_tiebreak), X, C
 
     # The fixed-point map log_om -> F(log_om) contracts slowly when the
     # posterior was smoothed at the current omega (ratio near 1, so
@@ -368,8 +438,8 @@ def hstep(
     # system at x0 is the E-step's own Woodbury system up to the ridge
     # fold w -> w/(1 + eps*w) (a ~eps*w relative perturbation), and the
     # residual probe in ops/spd.py guards the rare case it isn't close
-    x1, X1 = F(x0, xinv, warm_probe=False)
-    x2, X2 = F(x1, X1)
+    x1, X1, _ = F(x0, xinv, warm_probe=False)
+    x2, X2, _ = F(x1, X1)
     d1 = x1 - x0
     d2 = x2 - x1
     denom = d2 - d1
@@ -383,7 +453,7 @@ def hstep(
     # this third F call was measured: +7% EM throughput but -1% latent
     # recovery R^2 on the reference tutorial data — the raw Aitken point is
     # off the F-map manifold and the outer EM doesn't fully pull it back.)
-    log_omega, _ = F(x_star, X2)
+    log_omega, _, Cf = F(x_star, X2)
 
     # reject updates that sit at the search bounds (gp.py:91-92)
     span = hi - lo
@@ -391,7 +461,20 @@ def hstep(
         jnp.abs(log_omega - hi) < 1e-3 * span
     )
     omega = jnp.where(at_bound, params.omega, jnp.exp(log_omega))
-    return params.replace(omega=omega.astype(params.omega.dtype))
+    out = params.replace(omega=omega.astype(params.omega.dtype))
+    if config.hyper_learn_sigma:
+        # coordinate-ascent sigma update at the ACCEPTED omega: the
+        # closed-form profile optimum of the same fixed-posterior
+        # objective (the reference never learns sigma — its gradient
+        # mask pins it, gp.py:77-91).  The posterior statistic Cf was
+        # built at the pre-update sigma; the next EM iteration's E-step
+        # re-smooths under the new amplitude (standard coordinate EM).
+        _, s = gp_elbo_stats(
+            jnp.log(out.omega).astype(dtype), Cf, nseg_total, T, sigsq,
+            params.gp_noise, params.dt, profile_sigma=True,
+        )
+        out = out.replace(sigma=jnp.sqrt(s).astype(params.sigma.dtype))
+    return out
 
 
 def posterior_cov(w_l, G_l, reg: float = 0.0):

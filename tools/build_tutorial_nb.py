@@ -135,13 +135,16 @@ cells = [
         "Measured head-to-head on the reference's *own* simulation of "
         "this workload (its NumPy RNG and simulator, same data to both "
         "fitters, 20 EM iterations, this host \u2014 `tools/head2head.py`): "
-        "reference $R^2 = 0.921$; this engine $R^2 = 0.936$ self-tuned "
-        "(and $0.922$ when handed the reference's learned lengthscales). "
+        "reference $R^2 = 0.921$; this engine $R^2 = 0.927$ self-tuned "
+        "($0.922$ when handed the reference's learned lengthscales; on an "
+        "independent draw, `tools/indep_draw.py`, ours $0.929$ vs the "
+        "reference's $0.925$). "
         "The reference's inconsistent-gradient L-BFGS collapses every "
-        "$\\omega$ to the lower bound (maximal smoothing); this engine's "
-        "consistent fixed-posterior H-step, staggered over the smooth "
-        "side of the $\\omega$ box, keeps a diversity of lengthscales "
-        "that fits the multi-scale Lorenz dynamics better "
+        "$\\omega$ to the lower bound (maximal smoothing) and pins the GP "
+        "amplitude $\\sigma$; this engine's consistent fixed-posterior "
+        "H-step scans candidate lengthscales with a batched grid, learns "
+        "$\\sigma$ by closed-form profiling, and staggers the $\\omega$ "
+        "init over the smooth side of the box "
         "(see `models/gp.py` and `api.py:_prepare`)."
     ),
     md(

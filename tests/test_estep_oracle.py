@@ -91,7 +91,7 @@ def test_estep_masked_equals_short_trial():
 
     params = make_params(Y, Z, 1, "poisson", a=a, b=np.full((1, Y), -1.0),
                          omega=np.full(Z, 5e-3), dtype=jnp.float64)
-    config = default_config(dtype="float64", Eniter=4)
+    config = default_config(dtype="float64", Eniter=4, estep_tol=0)
 
     def run(pad_to):
         data = pack_trials([trial], Z, 1, dtype=np.float64)

@@ -59,7 +59,10 @@ def problem():
         Y, Z, X, lik, a=a, b=b, noise=noise, omega=np.full(Z, 1e-2),
         sigma=np.ones(Z), rank=50, dtype=jnp.float64,
     )
-    config = default_config(dtype="float64", Eniter=5, Mniter=5)
+    # estep_tol=0: sweep-count parity with the reference requires the
+    # reference-matched fixed sweep count
+    config = default_config(dtype="float64", Eniter=5, Mniter=5,
+                            estep_tol=0)
     data = pack_trials(trials, Z, X, dtype=np.float64)
     G = make_cholesky(T, params)
 

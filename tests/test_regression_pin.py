@@ -23,13 +23,13 @@ from vlgp_tpu.models.vlgp import update_w
 PINNED = {
     1: dict(mu=1.1626145339e01, a=3.3992684664e00,
             omega=(6.9743207559e-03, 8.5977527082e-03),
-            sigma=(1.0144567074e00, 1.0102216104e00)),
-    2: dict(mu=1.0147923396e03, a=1.2186042399e00,
-            omega=(6.0719605920e-03, 7.9979490837e-03),
-            sigma=(1.0152334376e00, 1.0142490930e00)),
-    3: dict(mu=1.1382491745e03, a=1.2192108575e00,
-            omega=(5.4709997342e-03, 7.6080215553e-03),
-            sigma=(1.0144641732e00, 1.0152549430e00)),
+            sigma=(1.0144555511e00, 1.0102203197e00)),
+    2: dict(mu=1.0147477295e03, a=1.2186298723e00,
+            omega=(6.0719605920e-03, 8.0111880395e-03),
+            sigma=(1.0152326783e00, 1.0142491067e00)),
+    3: dict(mu=1.1382615170e03, a=1.2191979221e00,
+            omega=(5.4709997342e-03, 7.6359626116e-03),
+            sigma=(1.0144640701e00, 1.0152717521e00)),
 }
 
 

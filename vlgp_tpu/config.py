@@ -38,6 +38,16 @@ class Config:
     Eniter: int = 25
     Mniter: int = 25
     Hstep: bool = True
+    # adaptive E-step exit: stop the Newton sweeps early once the update
+    # stalls, i.e. |dmu| <= estep_tol * |mu| (global norms; at least 2
+    # sweeps always run).  Eniter stays the hard cap.  The reference runs
+    # its Eniter=25 sweeps unconditionally (core.py:65; its `tol` is dead
+    # there), but the sweep fixed point reaches its noise floor far
+    # earlier — measured flagship profile: relative |dmu| plateaus at
+    # ~6e-4 by sweep 6 and never improves, so ~3/4 of the fixed-count
+    # E-step is noise recirculation.  0 disables (reference-matched fixed
+    # count; exact-parity tests use this).
+    estep_tol: float = 1e-3
     # update clipping (core.py:91, 200, 218)
     da_bound: float = 5.0
     db_bound: float = 5.0

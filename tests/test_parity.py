@@ -62,7 +62,7 @@ def problem():
     # estep_tol=0: sweep-count parity with the reference requires the
     # reference-matched fixed sweep count
     config = default_config(dtype="float64", Eniter=5, Mniter=5,
-                            estep_tol=0)
+                            estep_tol=0, mstep_tol=0)
     data = pack_trials(trials, Z, X, dtype=np.float64)
     G = make_cholesky(T, params)
 

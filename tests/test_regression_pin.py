@@ -24,12 +24,12 @@ PINNED = {
     1: dict(mu=1.1626145339e01, a=3.3992684664e00,
             omega=(6.9743207559e-03, 8.5977527082e-03),
             sigma=(1.0144555511e00, 1.0102203197e00)),
-    2: dict(mu=1.0147477295e03, a=1.2186298723e00,
-            omega=(6.0719605920e-03, 8.0111880395e-03),
-            sigma=(1.0152326783e00, 1.0142491067e00)),
-    3: dict(mu=1.1382615170e03, a=1.2191979221e00,
-            omega=(5.4709997342e-03, 7.6359626116e-03),
-            sigma=(1.0144640701e00, 1.0152717521e00)),
+    2: dict(mu=1.0147477295e03, a=1.2228886065e00,
+            omega=(6.0350605258e-03, 8.0223032965e-03),
+            sigma=(1.0152110680e00, 1.0141686963e00)),
+    3: dict(mu=1.1371703998e03, a=1.2160784878e00,
+            omega=(5.4228141582e-03, 7.6470718249e-03),
+            sigma=(1.0144132795e00, 1.0152981192e00)),
 }
 
 

@@ -36,7 +36,7 @@ def _problem(seed=0, ntrial=8, length=100, ydim=16, zdim=2):
     # needs identical sweep counts (the adaptive exit decides on
     # psummed norms whose reduction order differs across shardings)
     config = default_config(dtype="float64", Eniter=3, Mniter=3, hyper_iters=10,
-                            estep_tol=0)
+                            estep_tol=0, mstep_tol=0)
     params = make_params(ydim, zdim, 1, "poisson", a=a,
                          b=np.full((1, ydim), -1.5), omega=np.full(zdim, 1e-2),
                          dtype=jnp.float64)

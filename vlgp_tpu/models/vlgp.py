@@ -409,9 +409,33 @@ def mstep(
             db = jnp.where(pois, delta_b, b_new - b)
         return a_new, b_new, noise, da, db
 
-    a, b, noise, da, db = lax.fori_loop(
-        0, niter, iteration, (params.a, params.b, params.noise, params.da, params.db)
-    )
+    init_m = (params.a, params.b, params.noise, params.da, params.db)
+    mtol = config.mstep_tol
+    if mtol <= 0:
+        a, b, noise, da, db = lax.fori_loop(0, niter, iteration, init_m)
+    else:
+        # adaptive exit at the Newton noise floor — the check the
+        # reference's authors wrote and commented out (core.py:248-249:
+        # ``norm(da) < tol * norm(a) and norm(db) < tol * norm(b)``).
+        # Measured flagship profile: relative |da|/|a| hits its ~2e-3
+        # floor by Newton iteration 4 on the first EM iteration and sits
+        # there from iteration 1 on every later EM iteration, so the
+        # fixed 25-count loop is ~90% noise recirculation (STATUS.md).
+        # da/db come out of data-psummed statistics, so the norms are
+        # already replicated across a shard_map — every device takes the
+        # same trip count with no extra collective.
+        def mcond(carry):
+            i, (a_c, b_c, _, da_c, db_c) = carry
+            moving = (
+                jnp.linalg.norm(da_c) > mtol * jnp.linalg.norm(a_c)
+            ) | (jnp.linalg.norm(db_c) > mtol * jnp.linalg.norm(b_c))
+            return (i < niter) & ((i < 2) | moving)
+
+        def mbody(carry):
+            i, inner = carry
+            return i + 1, iteration(i, inner)
+
+        _, (a, b, noise, da, db) = lax.while_loop(mcond, mbody, (0, init_m))
     return params.replace(a=a, b=b, noise=noise, da=da, db=db)
 
 

@@ -42,21 +42,24 @@ def test_fit_sharded_recovers(shape):
     assert np.isfinite(np.asarray(res.params.a)).all()
 
 
-# Strict single-vs-multi-device parity runs with hyper_grid=0: the grid
+# Strict single-vs-multi-device parity runs with hyper_grid=0 and the
+# adaptive E/M exits disabled (estep_tol=0, mstep_tol=0): the grid
 # stage's argmin is a DISCRETE basin selection, and at a near-tie between
 # basins the psum reduction order (which differs between shardings by
 # float associativity, ~1e-15) can legitimately flip it — after which the
 # EM trajectories stay self-consistently apart (measured: omega 0.00486
 # vs 0.00470 on this exact workload).  The continuous golden-section path
-# is the well-posed contract for catching real sharding bugs; quality at
-# the grid-enabled defaults is covered by test_fit_sharded_recovers.
+# is the well-posed contract for catching real sharding bugs, and the
+# adaptive exits' psummed-norm decisions can likewise flip at the
+# threshold on reduction-order noise; quality at full defaults is
+# covered by test_fit_sharded_recovers.
 def test_fit_sharded_matches_single_device():
     trials, zt = _trials(seed=1)
     mesh = make_mesh((8, 1))
     res_m = fit_sharded(trials, 2, mesh=mesh, dtype="float64", max_iter=4,
-                        min_iter=1, hyper_grid=0)
+                        min_iter=1, hyper_grid=0, estep_tol=0, mstep_tol=0)
     res_1 = vlgp_tpu.fit(trials, 2, dtype="float64", max_iter=4, min_iter=1,
-                         hyper_grid=0)
+                         hyper_grid=0, estep_tol=0, mstep_tol=0)
     # same pipeline, same seeds -> same parameters to solver precision
     assert np.abs(np.asarray(res_m.params.a) - np.asarray(res_1.params.a)).max() < 1e-6
     assert np.abs(np.asarray(res_m.params.omega) - np.asarray(res_1.params.omega)).max() < 1e-8
@@ -72,9 +75,9 @@ def test_fit_sharded_block_matches_single_device_block():
     trials, _ = _trials(seed=3)
     mesh = make_mesh((4, 2))
     res_m = fit_sharded(trials, 2, mesh=mesh, block=4, dtype="float64",
-                        max_iter=8, min_iter=1, hyper_grid=0)
+                        max_iter=8, min_iter=1, hyper_grid=0, estep_tol=0, mstep_tol=0)
     res_1 = vlgp_tpu.fit(trials, 2, block=4, dtype="float64", max_iter=8,
-                         min_iter=1, hyper_grid=0)
+                         min_iter=1, hyper_grid=0, estep_tol=0, mstep_tol=0)
     assert np.abs(np.asarray(res_m.params.a) - np.asarray(res_1.params.a)).max() < 1e-6
     assert np.abs(np.asarray(res_m.params.omega) - np.asarray(res_1.params.omega)).max() < 1e-8
     mu_m = np.concatenate([t["mu"] for t in res_m.trials])
@@ -89,11 +92,11 @@ def test_fit_sharded_pads_odd_channel_count():
     trials, zt = _trials(seed=2, ydim=15)
     mesh = make_mesh((4, 2))
     res_m = fit_sharded(trials, 2, mesh=mesh, dtype="float64", max_iter=4,
-                        min_iter=1, hyper_grid=0)
+                        min_iter=1, hyper_grid=0, estep_tol=0, mstep_tol=0)
     assert res_m.params.ydim == 15
     assert res_m.data.ydim == 15
     res_1 = vlgp_tpu.fit(trials, 2, dtype="float64", max_iter=4, min_iter=1,
-                         hyper_grid=0)
+                         hyper_grid=0, estep_tol=0, mstep_tol=0)
     assert np.abs(np.asarray(res_m.params.a) - np.asarray(res_1.params.a)).max() < 1e-6
     mu_m = np.concatenate([t["mu"] for t in res_m.trials])
     mu_1 = np.concatenate([t["mu"] for t in res_1.trials])

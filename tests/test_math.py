@@ -169,6 +169,30 @@ def test_golden_min_grid_tiebreak_prefers_smooth():
     assert abs(x - 8.0) < 0.01, x
 
 
+def test_golden_min_grid_nan_candidates_lose():
+    """A NaN candidate (e.g. an f32 Cholesky failure at an extreme omega)
+    must lose the scan, not poison it: review-r3 found a single NaN made
+    `near` all-False and locked the bracket to cell 0."""
+    from vlgp_tpu.models.gp import _golden_min
+
+    lo = jnp.asarray([np.log(1e-4)])
+    hi = jnp.asarray([np.log(1e-1)])
+    xstar = np.log(3e-3)
+
+    def f(x):
+        good = (x - xstar) ** 2
+        return jnp.where(x < np.log(2e-4), jnp.nan, good)
+
+    x = float(_golden_min(f, lo, hi, 24, grid=13)[0])
+    assert abs(x - xstar) < 0.05, (x, xstar)
+
+    # all-NaN column: the bracket must collapse onto the box edge so the
+    # H-step's at-bound rejection keeps the previous omega
+    x = float(_golden_min(lambda x: jnp.full_like(x, jnp.nan),
+                          lo, hi, 24, grid=13)[0])
+    assert abs(x - float(lo[0])) < 1e-9, x
+
+
 def test_golden_min_grid_matches_plain_when_unimodal():
     from vlgp_tpu.models.gp import _golden_min
 

@@ -216,18 +216,36 @@ def _golden_min(f, lo, hi, iters: int, polish: bool = False, grid: int = 0,
         frac = jnp.arange(grid, dtype=jnp.result_type(lo)) / (grid - 1)
         cand = lo[None] + frac[:, None] * (hi - lo)[None]  # (grid, Z)
         fcand = f(cand)  # (grid, Z)
+        # NaN candidates (e.g. an f32 Cholesky failure at an extreme
+        # omega) must lose the comparison, not poison it: a raw min/argmax
+        # over a column with one NaN would make `near` all-False and lock
+        # the bracket to cell 0 regardless of where the true minimum is
+        bad = jnp.isnan(fcand)
+        fcand = jnp.where(bad, jnp.inf, fcand)
         fmin = jnp.min(fcand, axis=0)  # (Z,)
         near = fcand <= fmin + tiebreak * jnp.abs(fmin)
         # first near-tied candidate = smallest x (argmax returns the first
-        # True); with an all-NaN column this is 0 and the H-step's
-        # at-bound rejection keeps the previous omega
+        # True)
         best = jnp.argmax(near, axis=0)  # (Z,)
-        lo = jnp.take_along_axis(
-            cand, jnp.maximum(best - 1, 0)[None], axis=0
-        )[0]
-        hi = jnp.take_along_axis(
-            cand, jnp.minimum(best + 1, grid - 1)[None], axis=0
-        )[0]
+        # don't bracket into a NaN neighbor cell (the golden comparisons
+        # inside would misbehave on NaN endpoints): shrink that side to
+        # the best candidate itself
+        lo_idx = jnp.maximum(best - 1, 0)
+        lo_idx = jnp.where(
+            jnp.take_along_axis(bad, lo_idx[None], axis=0)[0], best, lo_idx
+        )
+        hi_idx = jnp.minimum(best + 1, grid - 1)
+        hi_idx = jnp.where(
+            jnp.take_along_axis(bad, hi_idx[None], axis=0)[0], best, hi_idx
+        )
+        # an all-NaN column has no information: collapse the bracket onto
+        # the box edge so the H-step's at-bound rejection keeps the
+        # previous value instead of accepting an arbitrary interior point
+        allbad = jnp.all(bad, axis=0)
+        lo_b = jnp.take_along_axis(cand, lo_idx[None], axis=0)[0]
+        hi_b = jnp.take_along_axis(cand, hi_idx[None], axis=0)[0]
+        lo = jnp.where(allbad, lo, lo_b)
+        hi = jnp.where(allbad, lo, hi_b)
     phi = 0.6180339887498949
     c = hi - phi * (hi - lo)
     d = lo + phi * (hi - lo)

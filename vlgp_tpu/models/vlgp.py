@@ -421,14 +421,19 @@ def mstep(
         # floor by Newton iteration 4 on the first EM iteration and sits
         # there from iteration 1 on every later EM iteration, so the
         # fixed 25-count loop is ~90% noise recirculation (STATUS.md).
-        # da/db come out of data-psummed statistics, so the norms are
-        # already replicated across a shard_map — every device takes the
-        # same trip count with no extra collective.
+        # The squared norms are MODEL-psummed: a/b/da/db are replicated
+        # across the data axis (their statistics are data-psummed) but
+        # sharded over channels on the model axis, so a local norm would
+        # give each model shard its own trip count and make the fit
+        # depend on the mesh layout (review-r3 finding).
+        def _gn2(x):
+            return _psum(jnp.sum(x * x), dist.model)
+
         def mcond(carry):
             i, (a_c, b_c, _, da_c, db_c) = carry
-            moving = (
-                jnp.linalg.norm(da_c) > mtol * jnp.linalg.norm(a_c)
-            ) | (jnp.linalg.norm(db_c) > mtol * jnp.linalg.norm(b_c))
+            moving = (_gn2(da_c) > mtol * mtol * _gn2(a_c)) | (
+                _gn2(db_c) > mtol * mtol * _gn2(b_c)
+            )
             return (i < niter) & ((i < 2) | moving)
 
         def mbody(carry):

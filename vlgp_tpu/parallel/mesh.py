@@ -53,36 +53,43 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+# The single source of truth for the sharding contract (spmd.py's
+# shard_map spec builders consume the same dicts): segments over 'data',
+# channel-indexed arrays over 'model', latent-indexed arrays replicated.
+TRIALSET_SPEC_FIELDS = dict(
+    y=P("data", None, "model"),
+    x=P("data", None, None, "model"),
+    mask=P("data", None),
+    mu=P("data", None, None),
+    w=P("data", None, None),
+    v=P("data", None, None),
+    dmu=P("data", None, None),
+    trial_idx=P("data"),
+    start=P("data"),
+    lengths=P("data"),
+)
+PARAMS_SPEC_FIELDS = dict(
+    a=P(None, "model"),
+    b=P(None, "model"),
+    noise=P("model"),
+    sigma=P(),
+    omega=P(),
+    poisson=P("model"),
+    da=P(None, "model"),
+    db=P(None, "model"),
+)
+
+
 def data_specs(data: TrialSet) -> TrialSet:
     """PartitionSpec pytree for a TrialSet: segments over 'data', channels
     over 'model'."""
-    return data.replace(
-        y=P("data", None, "model"),
-        x=P("data", None, None, "model"),
-        mask=P("data", None),
-        mu=P("data", None, None),
-        w=P("data", None, None),
-        v=P("data", None, None),
-        dmu=P("data", None, None),
-        trial_idx=P("data"),
-        start=P("data"),
-        lengths=P("data"),
-    )
+    return data.replace(**TRIALSET_SPEC_FIELDS)
 
 
 def params_specs(params: Params) -> Params:
     """PartitionSpec pytree for Params: channel-indexed arrays over
     'model', latent-indexed arrays replicated."""
-    return params.replace(
-        a=P(None, "model"),
-        b=P(None, "model"),
-        noise=P("model"),
-        sigma=P(),
-        omega=P(),
-        poisson=P("model"),
-        da=P(None, "model"),
-        db=P(None, "model"),
-    )
+    return params.replace(**PARAMS_SPEC_FIELDS)
 
 
 def _put(x, mesh: Mesh, spec) -> jax.Array:

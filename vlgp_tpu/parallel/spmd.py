@@ -36,29 +36,23 @@ _XINV_SPEC = P(None, "data", None, None)
 
 
 def _trialset_specs() -> TrialSet:
-    """Spec pytree for any TrialSet (structure is instance-independent)."""
-    return TrialSet(
-        y=P("data", None, "model"),
-        x=P("data", None, None, "model"),
-        mask=P("data", None),
-        mu=P("data", None, None),
-        w=P("data", None, None),
-        v=P("data", None, None),
-        dmu=P("data", None, None),
-        trial_idx=P("data"),
-        start=P("data"),
-        lengths=P("data"),
-    )
+    """Spec pytree for any TrialSet (structure is instance-independent).
+    The field->spec mapping lives in mesh.py, the one source of truth for
+    the sharding contract."""
+    from .mesh import TRIALSET_SPEC_FIELDS
+
+    return TrialSet(**TRIALSET_SPEC_FIELDS)
 
 
 def _params_specs(gp_noise: float, dt: float, rank: int,
                   likelihood_kind: str = "mixed") -> Params:
     """Spec pytree for Params; the scalar statics must match the instance's
-    (they ride the treedef and shard_map compares structures)."""
+    (they ride the treedef and shard_map compares structures).  The
+    field->spec mapping lives in mesh.py."""
+    from .mesh import PARAMS_SPEC_FIELDS
+
     return Params(
-        a=P(None, "model"), b=P(None, "model"), noise=P("model"),
-        sigma=P(), omega=P(), poisson=P("model"),
-        da=P(None, "model"), db=P(None, "model"),
+        **PARAMS_SPEC_FIELDS,
         gp_noise=gp_noise, dt=dt, rank=rank,
         likelihood_kind=likelihood_kind,
     )

@@ -166,6 +166,10 @@ def _config_from_reference(rconfig: dict) -> Config:
               "dmu_bound", "saving_interval"):
         if k in kw:
             kw[k] = float(kw[k])
+    # the reference computes everything in float64 and its config has no
+    # dtype key; defaulting to this package's f32 would silently round
+    # the migrated params/posteriors (~1e-7 relative) — review-r3 finding
+    kw.setdefault("dtype", "float64")
     return Config(**kw)
 
 

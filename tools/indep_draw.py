@@ -73,7 +73,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--ref", action="store_true")
+    ap.add_argument("--kw", action="append", default=[],
+                    help="extra fit() kwargs as key=value (A/B knobs)")
     args = ap.parse_args()
+    kw = {}
+    for item in args.kw:
+        k, v = item.split("=", 1)
+        try:
+            kw[k] = json.loads(v)
+        except json.JSONDecodeError:
+            kw[k] = v
 
     y, x = simulate(args.seed)
     cache = {}
@@ -84,7 +93,7 @@ def main():
         cache[key] = fit_reference(y, x)
         REF_CACHE.write_text(json.dumps(cache))
 
-    r2, res = fit_ours(y, x)
+    r2, res = fit_ours(y, x, **kw)
     out = {
         "seed": args.seed,
         "ours_r2": round(r2, 4),

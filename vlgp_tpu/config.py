@@ -74,6 +74,12 @@ class Config:
     # reference-matched 24-shrink default stands.
     hyper_iters: int = 24
     hyper_polish: bool = False
+    # number of posterior-refreshing searches per H-step call: 3 (default)
+    # = two fixed-point refinements + Aitken + a polishing search at the
+    # extrapolated point; 2 = accept the clamped Aitken point directly
+    # (one less sequential search chain — see the measured quality note in
+    # models/gp.py before relying on it)
+    hyper_refines: int = 3
     # hyper_grid >= 3 prepends a coarse scan to every golden search: the
     # candidate objective is evaluated at hyper_grid log-spaced omegas
     # (ONE batched Cholesky — candidates ride the leading batch dim of

@@ -456,8 +456,8 @@ def hstep(
     # system at x0 is the E-step's own Woodbury system up to the ridge
     # fold w -> w/(1 + eps*w) (a ~eps*w relative perturbation), and the
     # residual probe in ops/spd.py guards the rare case it isn't close
-    x1, X1, _ = F(x0, xinv, warm_probe=False)
-    x2, X2, _ = F(x1, X1)
+    x1, X1, C1 = F(x0, xinv, warm_probe=False)
+    x2, X2, C2 = F(x1, X1)
     d1 = x1 - x0
     d2 = x2 - x1
     denom = d2 - d1
@@ -467,11 +467,22 @@ def hstep(
     contracting = (d1 * d2 > 0) & (jnp.abs(d2) < jnp.abs(d1))
     x_star = jnp.where(contracting, aitken, x2)
     x_star = jnp.clip(x_star, lo + margin, hi - margin)
-    # polish with one more refinement at the extrapolated point.  (Skipping
-    # this third F call was measured: +7% EM throughput but -1% latent
-    # recovery R^2 on the reference tutorial data — the raw Aitken point is
-    # off the F-map manifold and the outer EM doesn't fully pull it back.)
-    log_omega, _, Cf = F(x_star, X2)
+    if config.hyper_refines >= 3:
+        # polish with one more refinement at the extrapolated point.
+        # Skipping this third F call (hyper_refines=2) was measured twice:
+        # round 2 — +7% EM throughput, -1% recovery R^2 — and round 3
+        # with the grid scan + profiled sigma: +31% EM throughput
+        # (17.5 vs 13.4 it/s), benchmark-draw quality a hair BETTER
+        # (0.9253 vs 0.9246, robust across kernels), but the independent
+        # draw dropped below the reference (0.9209 vs 0.9247: one latent
+        # collapsed to the omega floor without the polishing search).
+        # The raw Aitken point is off the F-map manifold, and whether the
+        # outer EM pulls it back is workload-dependent — so the polished
+        # 3-call default stands, and hyper_refines=2 is an explicit
+        # speed/robustness trade for users who validate their own fits.
+        log_omega, _, Cf = F(x_star, X2)
+    else:
+        log_omega, Cf = x_star, C2
 
     # reject updates that sit at the search bounds (gp.py:91-92)
     span = hi - lo

@@ -23,7 +23,7 @@ from vlgp_tpu.data import cut_trials, pack_trials
 from vlgp_tpu.models import gp as gpmod
 from vlgp_tpu.models.gp import make_cholesky
 from vlgp_tpu.models.vlgp import estep, update_v, update_w
-from vlgp_tpu.ops.spd import inv_one_plus_psd
+from vlgp_tpu.ops.spd import inv_one_plus_gram
 
 
 @pytest.fixture(scope="module")
@@ -90,13 +90,13 @@ def test_hstep_warm_chain_matches_exact_inverses(state, monkeypatch):
     match the exact-inverse fixed point to a few percent in log space
     (measured ~1.6% on this workload)."""
     monkeypatch.setattr(
-        gpmod, "inv_one_plus_psd",
-        functools.partial(inv_one_plus_psd, force="ns"),
+        gpmod, "inv_one_plus_gram",
+        functools.partial(inv_one_plus_gram, force="ns"),
     )
     om_ns = _omega_fixed_point(state)
     monkeypatch.setattr(
-        gpmod, "inv_one_plus_psd",
-        functools.partial(inv_one_plus_psd, force="xla"),
+        gpmod, "inv_one_plus_gram",
+        functools.partial(inv_one_plus_gram, force="xla"),
     )
     om_exact = _omega_fixed_point(state)
     err = np.abs(np.log(om_ns) - np.log(om_exact)).max()

@@ -21,7 +21,7 @@ from jax import lax
 from ..config import Config, Params
 from ..data import TrialSet
 from ..ops.ichol import ichol_gauss_batch, nystrom_gauss_batch
-from ..ops.spd import inv_one_plus_psd
+from ..ops.spd import inv_one_plus_gram, inv_one_plus_psd
 from .vlgp import Dist, _psum
 
 __all__ = [
@@ -345,9 +345,13 @@ def hstep(
         A_s = G' W_s G,  X_s = (I + A_s)^{-1}
 
     — so the inner systems are the E-step's (rank x rank) Woodbury systems
-    (packed Pallas Newton-Schulz on TPU), and no (S, T, T) tensor is ever
-    materialized.  ``rank`` defaults to min(params.rank, T); the driver
-    passes the trimmed segment rank.
+    (fused-Gram Pallas Newton-Schulz on TPU: A = G'WG is built in VMEM and
+    never materialized in HBM), and no (S, T, T) tensor is ever
+    materialized either.  The commuting identities AX = I - X and
+    QA = P - Q (see the inline comments) reduce the pooled statistic to
+    reductions of X and P - Q — both cheaper and better conditioned than
+    the direct matmul differences.  ``rank`` defaults to
+    min(params.rank, T); the driver passes the trimmed segment rank.
     """
     if not config.Hstep:
         return params
@@ -394,20 +398,29 @@ def hstep(
         # (the residual check in ops/spd.py guards every exit).
         G_om = _se_factor(T, jnp.exp(log_om), rank, params.dt, dtype)
         G_om = G_om.astype(dtype) * params.sigma[:, None, None]
-        A = jnp.einsum("ztr,zst,ztq->zsrq", G_om, wt2, G_om)
-        X = inv_one_plus_psd(A, iters=config.ns_iters + 2, warm=warmX,
-                             warm_iters=max(config.ns_warm_iters, 8),
-                             probe=warm_probe)
+        # A = G' diag(w~) G is needed ONLY inside the inverse (see the
+        # commuting identities below), so the fused Gram kernel applies:
+        # on TPU the (Z,S,R,R) Gram never materializes in HBM
+        X = inv_one_plus_gram(G_om, wt2, iters=config.ns_iters + 2,
+                              warm=warmX,
+                              warm_iters=max(config.ns_warm_iters, 8),
+                              probe=warm_probe)
         P = wt2[..., None] * G_om[:, None]  # (Z,S,T,R): diag(w~) G
         Q = jnp.einsum("zstr,zsrq->zstq", P, X)
-        AX = jnp.einsum("zsrq,zsqp->zsrp", A, X, precision=hp)
-        AXA = jnp.einsum("zsrq,zsqp->zsrp", AX, A, precision=hp)
         sum_w = _psum(jnp.einsum("s,zst->zt", valid, wt2), dist.data)
-        sum_AXA_mA = _psum(
-            jnp.einsum("s,zsrq->zrq", valid, AXA - A), dist.data
-        )
+        # X = (I+A)^{-1} commutes with A, so AX = I - X exactly; hence
+        # A X A - A = X - I and Q A = P X A = P - Q.  Besides deleting
+        # three (Z,S,R,R)-sized batched matmuls per call, the identity
+        # forms are numerically STRICTLY better: the direct differences
+        # subtract two O(||A||) quantities to produce an O(1) result
+        # (f32 cancellation ~1e-7*lambda, and any NS-inverse residual is
+        # amplified by ||A|| ~ 1e4), while X - I and P - Q carry only the
+        # raw O(tol) inverse error.
+        sum_X = _psum(jnp.einsum("s,zsrq->zrq", valid, X), dist.data)
+        eyeR = jnp.eye(X.shape[-1], dtype=dtype)
+        sum_AXA_mA = sum_X - nseg_total * eyeR
         sum_QP = _psum(jnp.einsum("s,zstr,zsur->ztu", valid, Q, P), dist.data)
-        sum_QA = _psum(jnp.einsum("s,zstr,zsrq->ztq", valid, Q, A), dist.data)
+        sum_QA = _psum(jnp.einsum("s,zstr->ztr", valid, P - Q), dist.data)
         KK = jnp.einsum("ztr,zur->ztu", G_om, G_om, precision=hp)
         GM = jnp.einsum("ztr,zrq->ztq", G_om, sum_AXA_mA, precision=hp)
         t_qa = jnp.einsum("ztr,zur->ztu", sum_QA, G_om, precision=hp)

@@ -866,7 +866,10 @@ def inv_one_plus_gram(G, w, iters: int = 16, force: str | None = None,
     G: (Z, T, R) low-rank prior factors; w: (Z, S, T) nonnegative weights.
     Returns X (Z, S, R, R), or (X, v) with ``want_v`` where
     v = diag(G X G') is the VB marginal posterior variance (core.py:110,
-    445-471) computed from the kernel's VMEM-resident inverse.
+    445-471) computed from the kernel's VMEM-resident inverse.  Used by
+    both the E-step sweeps (models/vlgp.py) and the H-step's factor-space
+    posterior refresh (models/gp.py:hstep, where the commuting identities
+    make X the only Gram-sized quantity needed).
 
     Semantics (warm start, probe, residual-checked fallbacks) match
     :func:`inv_one_plus_psd` on the einsum-built Gram — which is exactly
@@ -879,7 +882,8 @@ def inv_one_plus_gram(G, w, iters: int = 16, force: str | None = None,
         A = jnp.einsum("ztr,zst,ztq->zsrq", G, w, G)
         X = inv_one_plus_psd(A, iters=iters, warm=warm,
                              warm_iters=warm_iters, probe=probe,
-                             force="xla" if force == "xla" else None)
+                             force=force if force in ("xla", "ns", "packed")
+                             else None)
         if want_v:
             return X, jnp.einsum("ztr,zsrq,ztq->zst", G, X, G)
         return X
@@ -887,7 +891,10 @@ def inv_one_plus_gram(G, w, iters: int = 16, force: str | None = None,
     forced = force in ("gram", "interpret")
     eligible = (
         _HAS_PALLAS and G.dtype == jnp.float32
-        and R <= 128 and force != "xla" and _gram_tiles(T, R) >= 1
+        # "xla"/"ns"/"packed" force the einsum-Gram route (inv_one_plus_psd
+        # handles the requested inverse path there)
+        and force not in ("xla", "ns", "packed") and _gram_tiles(T, R) >= 1
+        and R <= 128
         # an explicit force= always exercises the kernel; the env default
         # only governs auto dispatch.  CPU-only processes (tests, dryrun)
         # would trace the Pallas branch into every executable just to

@@ -101,3 +101,41 @@ def test_hstep_warm_chain_matches_exact_inverses(state, monkeypatch):
     om_exact = _omega_fixed_point(state)
     err = np.abs(np.log(om_ns) - np.log(om_exact)).max()
     assert err < 5e-2, (err, om_ns, om_exact)
+
+
+# ---------------------------------------------------------------------------
+# Aitken acceptance trust region (unpolished hyper_refines<=2 mode)
+# ---------------------------------------------------------------------------
+
+
+def test_aitken_trust_region_caps_near_stationary_jump():
+    """A contraction ratio near 1 must not teleport the iterate to the
+    bound when trust > 0; with trust=0 the raw extrapolation is kept."""
+    from vlgp_tpu.models.gp import _aitken_accept
+
+    lo, hi = jnp.asarray(-7.6), jnp.asarray(-3.0)
+    # crawling fixed point: d1 = -0.10, d2 = -0.099 (ratio 0.99) from -4.0
+    x0, x1, x2 = jnp.asarray(-4.0), jnp.asarray(-4.10), jnp.asarray(-4.199)
+    raw = _aitken_accept(x0, x1, x2, lo, hi, trust=0.0)
+    capped = _aitken_accept(x0, x1, x2, lo, hi, trust=4.0)
+    # raw Aitken jumps ~ d2*r/(1-r) ~ -9.8 -> clipped to lo (the collapse)
+    assert float(raw) == pytest.approx(float(lo))
+    # trust region: at most 4 steps ahead of x2, well inside the box
+    assert float(capped) == pytest.approx(-4.199 - 4 * 0.099, abs=1e-6)
+    assert float(capped) > float(lo) + 1.0
+
+
+def test_aitken_trust_region_inactive_on_small_jumps():
+    """Near convergence the extrapolation is within the cap and the trust
+    region must not perturb it; non-contracting sequences keep x2."""
+    from vlgp_tpu.models.gp import _aitken_accept
+
+    lo, hi = jnp.asarray(-7.6), jnp.asarray(-3.0)
+    # healthy contraction: ratio 0.5 -> jump = d2*r/(1-r) = 1*d2 < 4*|d2|
+    x0, x1, x2 = jnp.asarray(-4.0), jnp.asarray(-4.2), jnp.asarray(-4.3)
+    raw = _aitken_accept(x0, x1, x2, lo, hi, trust=0.0)
+    capped = _aitken_accept(x0, x1, x2, lo, hi, trust=4.0)
+    np.testing.assert_allclose(float(raw), float(capped), rtol=1e-12)
+    # oscillating (non-contracting): acceptance falls back to x2 either way
+    x0, x1, x2 = jnp.asarray(-4.0), jnp.asarray(-4.2), jnp.asarray(-4.1)
+    assert float(_aitken_accept(x0, x1, x2, lo, hi, trust=4.0)) == pytest.approx(-4.1)

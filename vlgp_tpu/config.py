@@ -80,6 +80,17 @@ class Config:
     # (one less sequential search chain — see the measured quality note in
     # models/gp.py before relying on it)
     hyper_refines: int = 3
+    # per-latent trust region on the accepted Aitken jump when the
+    # extrapolated point is NOT polished by a third search
+    # (hyper_refines <= 2): |aitken - x2| is capped at hyper_trust*|d2|
+    # (d2 = the last fixed-point step), so a near-stationary ratio can't
+    # teleport a latent across the omega box to the bound — the failure
+    # mode measured on the independent draw (one latent collapsed to the
+    # omega floor, R^2 0.9209 vs ref 0.9247).  The polished default
+    # (hyper_refines=3) is unaffected: its third search re-evaluates the
+    # objective at the extrapolated point and is its own guard.
+    # 0 disables the cap.
+    hyper_trust: float = 4.0
     # hyper_grid >= 3 prepends a coarse scan to every golden search: the
     # candidate objective is evaluated at hyper_grid log-spaced omegas
     # (ONE batched Cholesky — candidates ride the leading batch dim of

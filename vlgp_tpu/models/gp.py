@@ -323,6 +323,33 @@ def gp_elbo_stats(log_omega, C, nseg, T: int, sigmasq, gp_noise, dt,
     return -0.5 * tr / s - nseg * (0.5 * T * jnp.log(s) + logdet), s
 
 
+def _aitken_accept(x0, x1, x2, lo, hi, trust):
+    """Aitken/Steffensen acceptance for the H-step fixed point (per latent).
+
+    Extrapolates from the sequence (x0, x1, x2) of fixed-point iterates,
+    accepts the extrapolation only on a genuine contraction (same
+    direction, shrinking step), and — when ``trust > 0`` — caps the jump
+    at ``trust * |x2 - x1|``.  The cap matters in the unpolished mode
+    (config.hyper_refines <= 2) where the extrapolated point is accepted
+    without a third objective search: a contraction ratio r near 1 makes
+    the raw Aitken step |d2*r/(1-r)| arbitrarily large, and an overshoot
+    lands at the omega bound and sticks (the clip to [lo, hi] here keeps
+    it *inside* hstep's at-bound rejection margin by design).  Result is
+    clipped to [lo, hi].
+    """
+    d1 = x1 - x0
+    d2 = x2 - x1
+    denom = d2 - d1
+    safe = jnp.abs(denom) > 1e-12
+    aitken = x2 - jnp.where(safe, d2 * d2 / jnp.where(safe, denom, 1.0), 0.0)
+    if trust > 0:
+        cap = trust * jnp.abs(d2)
+        aitken = x2 + jnp.clip(aitken - x2, -cap, cap)
+    # accept only a genuine contraction (same direction, shrinking)
+    contracting = (d1 * d2 > 0) & (jnp.abs(d2) < jnp.abs(d1))
+    return jnp.clip(jnp.where(contracting, aitken, x2), lo, hi)
+
+
 def hstep(
     data: TrialSet, params: Params, config: Config, dist: Dist = Dist(),
     rank: Optional[int] = None, xinv=None,
@@ -471,15 +498,8 @@ def hstep(
     # residual probe in ops/spd.py guards the rare case it isn't close
     x1, X1, C1 = F(x0, xinv, warm_probe=False)
     x2, X2, C2 = F(x1, X1)
-    d1 = x1 - x0
-    d2 = x2 - x1
-    denom = d2 - d1
-    safe = jnp.abs(denom) > 1e-12
-    aitken = x2 - jnp.where(safe, d2 * d2 / jnp.where(safe, denom, 1.0), 0.0)
-    # accept only a genuine contraction (same direction, shrinking)
-    contracting = (d1 * d2 > 0) & (jnp.abs(d2) < jnp.abs(d1))
-    x_star = jnp.where(contracting, aitken, x2)
-    x_star = jnp.clip(x_star, lo + margin, hi - margin)
+    trust = config.hyper_trust if config.hyper_refines < 3 else 0.0
+    x_star = _aitken_accept(x0, x1, x2, lo + margin, hi - margin, trust)
     if config.hyper_refines >= 3:
         # polish with one more refinement at the extrapolated point.
         # Skipping this third F call (hyper_refines=2) was measured twice:

@@ -66,13 +66,19 @@ def fit_reference(y, x):
     trials = [{"ID": i, "y": yy} for i, yy in enumerate(y)]
     fit = vlgp.fit(trials, n_factors=DIM, max_iter=20, min_iter=10)
     mu = np.concatenate([t["mu"] for t in fit["trials"]])
-    return r2_aligned(mu, x.reshape(-1, DIM))
+    return {
+        "ref_r2": r2_aligned(mu, x.reshape(-1, DIM)),
+        "ref_omega": [float(v) for v in fit["params"]["omega"]],
+    }
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--ref", action="store_true")
+    ap.add_argument("--at-ref-omegas", action="store_true",
+                    help="run ours with the reference's learned omegas "
+                         "(Hstep off) — requires a dict-format cache entry")
     ap.add_argument("--kw", action="append", default=[],
                     help="extra fit() kwargs as key=value (A/B knobs)")
     args = ap.parse_args()
@@ -89,19 +95,27 @@ def main():
     if REF_CACHE.exists():
         cache = json.loads(REF_CACHE.read_text())
     key = str(args.seed)
-    if args.ref and key not in cache:
+    # cache schema: float (r2 only, legacy) or {"ref_r2", "ref_omega"}
+    if args.ref and (key not in cache or not isinstance(cache[key], dict)):
         cache[key] = fit_reference(y, x)
         REF_CACHE.write_text(json.dumps(cache))
+    entry = cache.get(key)
+    ref_r2 = entry["ref_r2"] if isinstance(entry, dict) else entry
 
+    if args.at_ref_omegas:
+        assert isinstance(entry, dict), "need --ref first (omegas uncached)"
+        kw = dict(kw, omega=np.asarray(entry["ref_omega"]), Hstep=False)
     r2, res = fit_ours(y, x, **kw)
     out = {
         "seed": args.seed,
         "ours_r2": round(r2, 4),
         "ours_omega": [float(v) for v in np.asarray(res.params.omega)],
     }
-    if key in cache:
-        out["ref_r2"] = round(cache[key], 4)
-        out["beats_ref"] = bool(r2 >= cache[key])
+    if args.at_ref_omegas:
+        out["mode"] = "at_ref_omegas"
+    if ref_r2 is not None:
+        out["ref_r2"] = round(ref_r2, 4)
+        out["beats_ref"] = bool(r2 >= ref_r2)
     print(json.dumps(out))
 
 

@@ -80,6 +80,52 @@ def test_sample_posterior(fitted):
     assert np.isfinite(spread) and err < 5 * spread
 
 
+def test_sample_posterior_raw_trial_params(fitted):
+    """Reference call form (api.py:142): a bare trial dict + params —
+    no FitResult needed.  Must agree with the FitResult path exactly
+    (same key, same state)."""
+    k = jax.random.PRNGKey(3)
+    trial = {"mu": np.asarray(fitted.data.mu[0]),
+             "w": np.asarray(fitted.data.w[0])}
+    s_raw = np.asarray(
+        vlgp_tpu.sample_posterior(trial, fitted.params, 5, key=k)
+    )
+    s_fit = np.asarray(vlgp_tpu.sample_posterior(fitted, 0, 5, key=k))
+    assert s_raw.shape == (5, 200, 2)
+    assert np.abs(s_raw - s_fit).max() < 1e-10
+
+
+def test_sample_posterior_migrated_reference_result(fitted, tmp_path):
+    """A result loaded from a reference-format file (load_reference) can be
+    sampled without hand-assembly (VERDICT-r3 missing #3)."""
+    # round-trip through the reference's own result schema
+    trials = [
+        {"ID": i, "y": np.asarray(fitted.data.y[i]),
+         "mu": np.asarray(fitted.data.mu[i]),
+         "w": np.asarray(fitted.data.w[i]),
+         "v": np.asarray(fitted.data.v[i])}
+        for i in range(fitted.data.ntrial)
+    ]
+    rez = {
+        "trials": trials,
+        "params": {
+            "a": np.asarray(fitted.params.a),
+            "b": np.asarray(fitted.params.b),
+            "noise": np.asarray(fitted.params.noise),
+            "sigma": np.asarray(fitted.params.sigma),
+            "omega": np.asarray(fitted.params.omega),
+            "rank": 50, "gp_noise": 1e-4, "dt": 1.0,
+            "zdim": 2, "xdim": 1,
+        },
+        "config": {},
+    }
+    np.save(tmp_path / "ref_rez.npy", rez, allow_pickle=True)
+    migrated = vlgp_tpu.load_reference(tmp_path / "ref_rez.npy")
+    s = vlgp_tpu.sample_posterior(migrated, 0, 4, key=jax.random.PRNGKey(2))
+    assert s.shape == (4, 200, 2)
+    assert np.isfinite(np.asarray(s)).all()
+
+
 def test_resume(fitted):
     out = vlgp_tpu.resume(fitted)
     assert np.isfinite(np.asarray(out.params.a)).all()
@@ -157,14 +203,19 @@ def test_sample_posterior_lowrank_matches_dense(fitted):
     """The O(T r) sampler and the dense Woodbury sampler draw from the same
     distribution: compare per-bin means/stds over many samples."""
     k = jax.random.PRNGKey(3)
-    s_lr = np.asarray(vlgp_tpu.sample_posterior(fitted, 0, 400, key=k))
-    s_d = np.asarray(vlgp_tpu.sample_posterior(fitted, 0, 400, key=k,
+    n = 1000
+    s_lr = np.asarray(vlgp_tpu.sample_posterior(fitted, 0, n, key=k))
+    s_d = np.asarray(vlgp_tpu.sample_posterior(fitted, 0, n, key=k,
                                                method="dense"))
     assert s_lr.shape == s_d.shape
-    # same posterior mean
+    # same posterior mean.  Both bounds are Monte-Carlo: two INDEPENDENT
+    # batches of n draws each — per-element se of a std estimate is
+    # sigma/sqrt(2n), the difference of two is sqrt(2) of that, and the
+    # max over T*z elements sits ~3.5 sigma out, so the spread bound
+    # needs ~3.5*sigma/sqrt(n) of headroom (sigma<~0.9 here).
     assert np.abs(s_lr.mean(0) - s_d.mean(0)).max() < 0.15
     # same marginal spread
-    assert np.abs(s_lr.std(0) - s_d.std(0)).max() < 0.1
+    assert np.abs(s_lr.std(0) - s_d.std(0)).max() < 0.12
     # and the marginal std matches the VB variance v
     v = np.sqrt(np.asarray(fitted.data.v[0]))
     assert np.abs(s_lr.std(0) - v).mean() < 0.05

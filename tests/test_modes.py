@@ -219,3 +219,41 @@ def test_converged_at_recorded_across_driver_modes():
     # block mode finished its 4-iteration block; per-iter modes stopped
     assert r_block.runtime["it"] == 4
     assert r_host.runtime["it"] == 2
+
+
+def test_elbo_trajectory_tracked_across_driver_modes():
+    """VERDICT-r3 #7: track_elbo=True records the per-iteration (per-block
+    in scan mode) ELBO trajectory in runtime['elbo'], and an EM fit must
+    improve it."""
+    trials, _ = _poisson_trials(ntrial=2, length=60, ydim=8)
+    kw = dict(dtype="float64", max_iter=6, min_iter=2, track_elbo=True)
+    r_host = vlgp_tpu.fit(trials, 2, **kw)
+    r_fused = vlgp_tpu.fit(trials, 2, fused=True, **kw)
+    r_block = vlgp_tpu.fit(trials, 2, block=3, **kw)
+    for r in (r_host, r_fused):
+        e = r.runtime["elbo"]
+        assert len(e) == r.runtime["it"]
+        assert np.isfinite(e).all()
+        assert e[-1] > e[0]
+        assert set(r.runtime["elbo_terms"][0]) == {
+            "poisson_ll", "gaussian_ll", "gp_prior_ll", "entropy", "elbo"}
+    # scan mode records at block boundaries (intra-block state stays on
+    # device)
+    assert len(r_block.runtime["elbo"]) == 2
+    # trajectory agrees across modes at the common points (same f64 math)
+    assert abs(r_block.runtime["elbo"][-1] - r_host.runtime["elbo"][-1]) < 1e-3
+
+
+def test_elbo_convergence_criterion():
+    """convergence='elbo' applies tol to ELBO deltas (the BASELINE
+    metric): a loose tol stops early with converged_at recorded; the
+    trajectory is recorded implicitly."""
+    trials, _ = _poisson_trials(ntrial=2, length=60, ydim=8)
+    r = vlgp_tpu.fit(trials, 2, dtype="float64", max_iter=10, min_iter=2,
+                     convergence="elbo", tol=0.5)
+    assert "elbo" in r.runtime
+    assert r.runtime.get("converged_at") is not None
+    assert r.runtime["converged_at"] <= 4
+    assert r.runtime["it"] < 10
+    with pytest.raises(ValueError):
+        vlgp_tpu.default_config(convergence="bogus")

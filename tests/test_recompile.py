@@ -54,15 +54,46 @@ def fitted():
     return trials, res
 
 
-def test_lono_compiles_once(fitted):
+def test_lono_compiles_once_and_dispatches_once(fitted, monkeypatch):
+    """VERDICT-r3 weak #5: N held-out neurons must cost ONE executable and
+    ONE device dispatch per call, not one per neuron."""
     _, res = fitted
+    from vlgp_tpu import model_selection as ms
+
+    real = ms._lono_scorer
+    dispatches = {"n": 0}
+
+    def counting_scorer(*args):
+        fn = real(*args)
+
+        def wrapped(*a):
+            dispatches["n"] += 1
+            return fn(*a)
+
+        return wrapped
+
+    monkeypatch.setattr(ms, "_lono_scorer", counting_scorer)
     with count_compiles() as warm:
         leave_one_neuron_out(res, neurons=[0])
     with count_compiles() as more:
-        scores = leave_one_neuron_out(res, neurons=[1, 2, 3, 4, 5])
-    assert len(scores) == 5
-    # scoring 5 more neurons must not compile anything new
+        scores = leave_one_neuron_out(res, neurons=list(range(10)))
+    assert len(scores) == 10
+    # scoring all neurons after one must not compile anything new, and
+    # each call is a single device dispatch
     assert more.count == 0, (warm.count, more.count)
+    assert dispatches["n"] == 2, dispatches
+
+
+def test_lono_batched_matches_per_neuron(fitted):
+    """The lax.map sweep must score exactly what per-neuron calls score."""
+    _, res = fitted
+    all_at_once = leave_one_neuron_out(res)
+    one_by_one = {}
+    for n in range(res.params.ydim):
+        one_by_one.update(leave_one_neuron_out(res, neurons=[n]))
+    assert all_at_once.keys() == one_by_one.keys()
+    for n in all_at_once:
+        assert abs(all_at_once[n] - one_by_one[n]) < 1e-6, n
 
 
 def test_transform_reuses_executables(fitted):

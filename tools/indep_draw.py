@@ -103,7 +103,16 @@ def main():
     ref_r2 = entry["ref_r2"] if isinstance(entry, dict) else entry
 
     if args.at_ref_omegas:
-        assert isinstance(entry, dict), "need --ref first (omegas uncached)"
+        # fail-loud preconditions (ADVICE-r3): no silent --kw override, no
+        # bare assert (stripped under python -O) — match head2head.py
+        if not isinstance(entry, dict):
+            ap.error("need --ref first (omegas uncached for this seed)")
+        conflicting = sorted({"omega", "Hstep"} & kw.keys())
+        if conflicting:
+            ap.error(
+                "--at-ref-omegas sets {} itself; drop the conflicting "
+                "--kw".format("/".join(conflicting))
+            )
         kw = dict(kw, omega=np.asarray(entry["ref_omega"]), Hstep=False)
     r2, res = fit_ours(y, x, **kw)
     out = {

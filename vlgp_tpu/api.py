@@ -296,10 +296,23 @@ def transform(
 
 
 def sample_posterior(
-    result: FitResult, trial: int, nsamples: int, key=None, reg: float = 1e-6,
-    method: str = "lowrank",
+    result, trial, nsamples: int = None, key=None, reg: float = 1e-6,
+    method: str = "lowrank", nsample=None,
 ):
     """Draw joint posterior samples for one trial (api.py:142-168).
+
+    Two call forms, matching both this package's result object and the
+    reference's raw-state signature ``sample_posterior(trial, params,
+    nsamples)`` (api.py:142):
+
+      * ``sample_posterior(fit_result, trial_index, nsamples)`` — sample
+        trial ``trial_index`` of a :class:`FitResult` (including one
+        migrated from a reference file via ``load_reference``);
+      * ``sample_posterior(trial_dict, params, nsamples)`` — any trial dict
+        carrying the posterior state (``mu`` (T, z) and ``w``) plus a
+        :class:`~vlgp_tpu.config.Params`; prior factors are built for the
+        trial's length on the fly (the reference instead KeyErrors unless
+        ``params['cholesky']`` already caches that length).
 
     Returns (nsamples, length, n_factors).
 
@@ -310,13 +323,32 @@ def sample_posterior(
     self-documented as slow).  method="dense" reproduces the dense
     Woodbury construction (util.py:541-547) for cross-checking.
     """
+    if nsamples is None:
+        nsamples = nsample  # reference keyword spelling
+    if nsamples is None:
+        raise TypeError("nsamples is required")
+    if isinstance(result, FitResult):
+        seed = result.config.seed
+        L = int(result.data.lengths[trial])
+        mu = result.data.mu[trial]  # (T, z)
+        w = result.data.w[trial]
+        mask = result.data.mask[trial]
+        G = result.G  # (z, T, r)
+    else:  # raw (trial_dict, params) — reference call form
+        trial_dict, params = result, trial
+        if not isinstance(trial_dict, dict) or "mu" not in trial_dict:
+            raise TypeError(
+                "expected a FitResult + trial index, or a trial dict with "
+                "'mu'/'w' + Params"
+            )
+        seed = 0
+        mu = jnp.asarray(trial_dict["mu"], params.a.dtype)
+        w = jnp.asarray(trial_dict["w"], params.a.dtype)
+        L = mu.shape[0]
+        mask = jnp.ones(L, mu.dtype)
+        G = make_cholesky(L, params)
     if key is None:
-        key = jax.random.PRNGKey(result.config.seed)
-    L = int(result.data.lengths[trial])
-    mu = result.data.mu[trial]  # (T, z)
-    w = result.data.w[trial]
-    mask = result.data.mask[trial]
-    G = result.G  # (z, T, r)
+        key = jax.random.PRNGKey(seed)
     zdim = mu.shape[-1]
 
     if method == "lowrank":

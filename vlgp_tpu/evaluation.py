@@ -77,9 +77,12 @@ def _gp_bucket_term(G_L, mu_sel, X_sel, eps_total, nsel: int):
         jnp.swapaxes(Lc, -1, -2), half, lower=False
     )
     logdet = jnp.sum(jnp.log(jnp.diagonal(Lc, axis1=-2, axis2=-1)), axis=-1)
-    return jnp.sum(
+    term = jnp.sum(
         -0.5 * jnp.trace(Kinv_C, axis1=-2, axis2=-1) - nsel * logdet
     )
+    # also hand back the prior half-logdets: the posterior entropy needs
+    # +nsel * logdet(cholK) per latent (logdet S = logdet K + logdet X)
+    return term, nsel * jnp.sum(logdet)
 
 
 def elbo_terms(data, params, G, gp_reg: float = 1e-6):
@@ -94,9 +97,14 @@ def elbo_terms(data, params, G, gp_reg: float = 1e-6):
 
     (the same quantity the H-step optimizes, gp.py:12-43 in the reference;
     posterior covariances are rebuilt from the stored weights via the
-    low-rank Woodbury identity S = G (I + G'WG)^{-1} G'), and their sum as
-    ``elbo`` — equal to the true ELBO up to the posterior entropy, which
-    is constant in the parameters given q.  Exact for ragged trials too:
+    low-rank Woodbury identity S = G (I + G'WG)^{-1} G'), the posterior
+    ``entropy`` term (1/2 logdet of each (latent, trial) posterior in the
+    prior's column basis — logdet X with X = (I + G'WG)^{-1}, already in
+    hand from the Woodbury build, so it is free; without it the series
+    tracked by ``config.track_elbo`` would not be monotone under EM), and
+    their sum as ``elbo`` — the true ELBO up to constants independent of
+    both q and the parameters (the log y! terms and r/2 per latent-trial).
+    Exact for ragged trials too:
     trials are pooled per length bucket, each bucket scored against the
     prior restricted to its true length (K is stationary on a regular
     grid, so the padded factor's L-prefix is the length-L factor), so the
@@ -142,17 +150,30 @@ def elbo_terms(data, params, G, gp_reg: float = 1e-6):
     # reuse the compiled executables.
     lengths = np.asarray(data.lengths)
     gp_ll = 0.0
+    prior_half_logdet = 0.0
     for L_true in np.unique(lengths):
         sel = np.nonzero(lengths == L_true)[0]
         Lt = int(L_true)
-        gp_ll += _gp_bucket_term(
+        term, half_logdet = _gp_bucket_term(
             G[:, :Lt, :], muz[:, sel, :Lt], jnp.sum(X[:, sel], axis=1),
             jnp.asarray(params.gp_noise + gp_reg, G.dtype), len(sel),
         )
+        gp_ll += term
+        prior_half_logdet += half_logdet
+    # posterior entropy: S = G X G' = (K^-1 + W)^-1 exactly under the
+    # low-rank prior (push-through identity), so logdet S = logdet K +
+    # logdet X and H(q) = 1/2 (logdet K + logdet X) up to a parameter-free
+    # constant — the prior's logdet K cancels gp_prior_ll's.  Fully-masked
+    # padding contributes exactly 0 (w = 0 there makes X = I).
+    _, logdetX = jnp.linalg.slogdet(X)
+    entropy = 0.5 * jnp.sum(logdetX) + prior_half_logdet
+
     out = {
         "poisson_ll": float(pois_ll),
         "gaussian_ll": float(gauss_ll),
         "gp_prior_ll": float(gp_ll),
+        "entropy": float(entropy),
     }
-    out["elbo"] = out["poisson_ll"] + out["gaussian_ll"] + out["gp_prior_ll"]
+    out["elbo"] = (out["poisson_ll"] + out["gaussian_ll"]
+                   + out["gp_prior_ll"] + out["entropy"])
     return out

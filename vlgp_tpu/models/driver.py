@@ -88,11 +88,13 @@ def xinv_zeros(data: TrialSet, G: jnp.ndarray) -> jnp.ndarray:
 
 
 def _jit_key(config: Config) -> Config:
-    """Strip host-only fields (checkpoint path/interval, PRNG seed) so jit
-    caches don't miss — and, worse, evict live entries — across seed sweeps
-    or per-run checkpoint paths.  None of these fields enters a traced
-    graph."""
-    return config.replace(path=None, saving_interval=1800.0, seed=0)
+    """Strip host-only fields (checkpoint path/interval, PRNG seed, ELBO
+    tracking) so jit caches don't miss — and, worse, evict live entries —
+    across seed sweeps or per-run checkpoint paths.  None of these fields
+    enters a traced graph (the ELBO trajectory is computed host-side
+    between dispatches)."""
+    return config.replace(path=None, saving_interval=1800.0, seed=0,
+                          track_elbo=False, convergence="norms")
 
 
 @functools.lru_cache(maxsize=32)
@@ -186,6 +188,31 @@ def _converged(norms, tol: float) -> bool:
     )
 
 
+def _track_elbo(config: Config) -> bool:
+    return config.track_elbo or config.convergence == "elbo"
+
+
+def _elbo_record(runtime: dict, data, params, G) -> None:
+    """Append this iteration's ELBO (and its terms) to the runtime dict."""
+    from ..evaluation import elbo_terms
+
+    terms = elbo_terms(data, params, G)
+    runtime.setdefault("elbo", []).append(terms["elbo"])
+    runtime.setdefault("elbo_terms", []).append(terms)
+
+
+def _iter_converged(runtime: dict, norms, config: Config) -> bool:
+    """Dispatch the convergence test per config.convergence: the
+    reference's relative-update-norms check (core.py:350-359), or an ELBO
+    stall |dELBO| <= tol * |ELBO| on the tracked trajectory."""
+    if config.convergence == "elbo":
+        e = runtime.get("elbo", [])
+        if len(e) < 2:
+            return False
+        return abs(e[-1] - e[-2]) <= config.tol * abs(e[-1])
+    return _converged(norms, config.tol)
+
+
 def vem(
     data: TrialSet,
     params: Params,
@@ -262,7 +289,9 @@ def vem(
             "mu": float(pre["mu"]), "a": float(pre["a"]), "b": float(pre["b"]),
             "dmu": float(post["dmu"]), "da": float(post["da"]), "db": float(post["db"]),
         }
-        if _converged(norms, config.tol) and it + 1 >= config.min_iter:
+        if _track_elbo(config):
+            _elbo_record(runtime, data, params, G)
+        if _iter_converged(runtime, norms, config) and it + 1 >= config.min_iter:
             runtime["converged_at"] = runtime["it"]
             break
 
@@ -288,7 +317,9 @@ def _vem_fused(data, params, G, config, callbacks, verbose):
                 cb(data, params, config)
             except RuntimeError:
                 pass
-        if _converged(norms, config.tol) and it + 1 >= config.min_iter:
+        if _track_elbo(config):
+            _elbo_record(runtime, data, params, G)
+        if _iter_converged(runtime, norms, config) and it + 1 >= config.min_iter:
             runtime["converged_at"] = runtime["it"]
             break
     return data, params, G, runtime
@@ -311,10 +342,20 @@ def _vem_scan(data, params, G, config, callbacks, verbose, block):
             runtime["it"] += 1
             runtime["em_elapsed"].append(elapsed / k)
             norms = {key: norms_k[key][i] for key in norms_k}
-            if (_converged(norms, config.tol)
+            if (config.convergence == "norms" and _converged(norms, config.tol)
                     and runtime["it"] >= config.min_iter and not done):
                 # ADVICE-r2: `it` keeps counting through the block remainder
                 # after mid-block convergence; this is the comparable index
+                runtime["converged_at"] = runtime["it"]
+                done = True
+        if _track_elbo(config):
+            # per-BLOCK trajectory in scan mode (the intra-block state
+            # never leaves the device); the elbo convergence test fires at
+            # block boundaries accordingly
+            _elbo_record(runtime, data, params, G)
+            if (config.convergence == "elbo" and not done
+                    and runtime["it"] >= config.min_iter
+                    and _iter_converged(runtime, {}, config)):
                 runtime["converged_at"] = runtime["it"]
                 done = True
         if verbose:

@@ -23,14 +23,20 @@ Deliberate fixes vs the reference (documented behavior edges, not features):
 """
 from __future__ import annotations
 
+import dataclasses
+import time
+from typing import List, Optional, Sequence
 
-
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from .gp import sekernel
 
-__all__ = ["make_prior", "em", "em_step", "infer", "leastsq", "loglik"]
+__all__ = [
+    "make_prior", "em", "em_step", "infer", "leastsq", "loglik",
+    "prepare", "fit", "GPFAResult",
+]
 
 
 def _latent_space_estep(y, C, d, Rdiag, K):
@@ -111,6 +117,129 @@ def make_prior(n: int, dt: float, var: float, scale: float):
     """Dense SE prior for a trial of length n (gpfa.py:11-17)."""
     t = jnp.arange(n) * dt
     return sekernel(t, var, scale)
+
+
+@dataclasses.dataclass
+class GPFAResult:
+    """Standalone GPFA fit output (reference gpfa.py:101-120 returns the
+    bare tuple ``(y, z, C, d, R)``; this is the typed equivalent, plus the
+    full-length posterior the reference's commented-out ``infer`` call never
+    delivers).  Indexable like a reference result dict."""
+
+    data: "TrialSet"  # full trials with mu = full-length GPFA posterior
+    z: jnp.ndarray  # (nseg, window, zdim) training-segment posterior
+    C: jnp.ndarray  # (zdim, ydim) loading
+    d: jnp.ndarray  # (ydim,) offset
+    R: jnp.ndarray  # (ydim,) per-channel noise variance
+    K: jnp.ndarray  # (window, window) segment prior
+    config: "Config"
+    runtime: dict
+    _trials_in: Optional[Sequence[dict]] = None
+
+    @property
+    def trials(self) -> List[dict]:
+        from ..data import unpack_trials
+
+        return unpack_trials(self.data, self._trials_in)
+
+    @property
+    def params(self) -> dict:
+        return {"C": self.C, "d": self.d, "R": self.R}
+
+    def __getitem__(self, key):
+        if key == "trials":
+            return self.trials
+        if key == "params":
+            return self.params
+        if key == "config":
+            return self.config
+        raise KeyError(key)
+
+
+def _prepare_full(trials, n_factors, *, dt, var, scale, **config_kwargs):
+    """Shared init + segmentation for the public GPFA surface
+    (gpfa.py:123-158): FA initialization, window segmentation, dense SE
+    prior on the segment grid."""
+    from ..api import _prepare
+    from ..config import default_config
+    from ..data import cut_trials
+
+    config = default_config(**config_kwargs)
+    data, params, fm = _prepare(trials, n_factors, config, dt=dt)
+    segments = cut_trials(data, config.window, seed=config.seed)
+    K = make_prior(segments.nbin, dt, var, scale)
+    C0 = params.a
+    # offset in DATA space: the reference seeds d with params['b'] — the
+    # *log* mean rate (preprocess.py:37) — as the additive offset of a
+    # linear model (gpfa.py:153), mixing link scales; exp(b0) = the mean
+    # itself is the consistent linear-model offset (same fix api.fastfit
+    # makes).
+    d0 = jnp.exp(params.b[0])
+    R0 = jnp.ones(data.ydim, dtype=K.dtype)
+    return data, segments, config, fm, C0, d0, R0, K
+
+
+def prepare(trials, n_factors, *, dt, var, scale, **config_kwargs):
+    """Public GPFA prepare (reference gpfa.py:123-158).
+
+    Returns ``(y, C, d, R, K)``: stacked training segments, initial
+    loading/offset/noise, and the dense SE prior on the segment grid —
+    the reference's tuple, with R as the (ydim,) diagonal.
+    """
+    _, segments, _, _, C0, d0, R0, K = _prepare_full(
+        trials, n_factors, dt=dt, var=var, scale=scale, **config_kwargs
+    )
+    return segments.y, C0, d0, R0, K
+
+
+def fit(trials, n_factors, *, dt, var, scale, max_iter: int = 20,
+        verbose: bool = False, **config_kwargs) -> GPFAResult:
+    """Standalone GPFA fit (reference gpfa.py:101-120): init ->
+    segmentation -> EM on segments -> full-length posterior inference.
+
+    trials: list of dicts with ``y`` (length, ydim); unequal lengths are
+    padded and masked.  ``var``/``scale`` parameterize the SE prior
+    (kernel fixed during EM, as in the reference).  Per-iteration EM
+    wall-clock lands in ``runtime["em_elapsed"]`` (the reference prints it,
+    gpfa.py:54, but discards it).
+    """
+    data, segments, config, _, C, d, R, K = _prepare_full(
+        trials, n_factors, dt=dt, var=var, scale=scale, **config_kwargs
+    )
+
+    runtime = {"it": 0, "em_elapsed": []}
+    y_seg = jnp.asarray(segments.y)
+    z = jnp.zeros((y_seg.shape[0], y_seg.shape[1], n_factors), y_seg.dtype)
+    for _ in range(max_iter):
+        tic = time.perf_counter()
+        z, C, d, R = _em_step_jit(y_seg, C, d, R, K)
+        jax.block_until_ready(C)
+        runtime["it"] += 1
+        runtime["em_elapsed"].append(time.perf_counter() - tic)
+        if verbose:
+            print(f"Iteration {runtime['it']}, "
+                  f"EM {runtime['em_elapsed'][-1]:.2f}s")
+
+    # full-length inference under the fitted (C, d, R) — the step the
+    # reference sketches but leaves commented out (gpfa.py:115-117).  One
+    # dense prior per distinct trial length (stationary kernel on a regular
+    # grid: the length-L prior is the L-prefix of the longest one).
+    tic = time.perf_counter()
+    lengths = np.asarray(data.lengths)
+    K_full = make_prior(data.nbin, dt, var, scale)
+    mu = np.zeros(data.mu.shape, dtype=np.asarray(data.mu).dtype)
+    for L in np.unique(lengths):
+        sel = np.nonzero(lengths == L)[0]
+        Lt = int(L)
+        z_full = infer(data.y[sel, :Lt, :], C, d, R, K_full[:Lt, :Lt])
+        mu[sel, :Lt, :] = np.asarray(z_full)
+    data = data.replace(mu=jnp.asarray(mu))
+    runtime["infer_elapsed"] = time.perf_counter() - tic
+
+    return GPFAResult(
+        data=data, z=z, C=C, d=d, R=R, K=K, config=config, runtime=runtime,
+        _trials_in=trials,
+    )
 
 
 def loglik(y, z, C, d, Rdiag, var, scale, dt):

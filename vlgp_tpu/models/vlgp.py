@@ -407,6 +407,17 @@ def mstep(
             b_new = jnp.where(pois, b_pois, b_gauss)
             da = jnp.where(pois, delta_a, a_new - a)
             db = jnp.where(pois, delta_b, b_new - b)
+        if params.active is not None:
+            # inert channels (mesh padding): pinned to their carried state
+            # — with a zero initial loading/bias they stay exactly zero,
+            # contributing nothing to any posterior contraction, WITHOUT
+            # demoting the model's static likelihood_kind (VERDICT-r3 #3)
+            act = params.active
+            a_new = jnp.where(act, a_new, a)
+            b_new = jnp.where(act, b_new, b)
+            noise = jnp.where(act, noise, carry[2])
+            da = jnp.where(act, da, 0.0)
+            db = jnp.where(act, db, 0.0)
         return a_new, b_new, noise, da, db
 
     init_m = (params.a, params.b, params.noise, params.da, params.db)

@@ -8,7 +8,7 @@ out of the box; multi-host after ``jax.distributed.initialize()``.
 from __future__ import annotations
 
 import time
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 import jax
@@ -18,7 +18,7 @@ from jax.sharding import Mesh
 from ..api import FitResult, _prepare
 from ..config import Config, default_config
 from ..data import cut_trials, scatter_segments
-from ..models.driver import _converged
+from ..models.driver import _converged, _elbo_record, _track_elbo
 from ..models.gp import make_cholesky
 from ..models.vlgp import update_v, update_w
 from .mesh import (
@@ -48,6 +48,7 @@ def fit_sharded(
     mesh: Optional[Mesh] = None,
     verbose: bool = False,
     block: int = 1,
+    callbacks: Sequence[Callable] = (),
     **kwargs,
 ) -> FitResult:
     """Fit vLGP with the EM step sharded over a ('data', 'model') mesh.
@@ -56,6 +57,15 @@ def fit_sharded(
     with exactly-inert masked channels when needed (:func:`pad_channels`).
     Extra keyword args are split between model parameters and
     :class:`Config` exactly as in :func:`vlgp_tpu.fit`.
+
+    Feature parity with the single-device :func:`vlgp_tpu.fit`
+    (VERDICT-r3 #3): ``callbacks`` fire at iteration boundaries (block
+    boundaries in block mode) as ``cb(segments, params, config)`` with the
+    channel padding already trimmed from ``params`` (the reference hook
+    contract, core.py:341-345, with RuntimeError swallowed); ``path=...``
+    wires a :class:`~vlgp_tpu.callback.Saver` exactly like ``fit``;
+    ``track_elbo``/``convergence='elbo'`` record the (real-segment,
+    real-channel) ELBO trajectory; the result carries ``initial_params``.
 
     ``block=k`` scans k EM iterations per shard_mapped dispatch — one
     device dispatch and ONE host norms-sync per k iterations instead of
@@ -68,8 +78,16 @@ def fit_sharded(
     config_keys = set(Config.__dataclass_fields__)
     config = default_config(**{k: v for k, v in kwargs.items() if k in config_keys})
     prep_kwargs = {k: v for k, v in kwargs.items() if k not in config_keys}
+    callbacks = list(callbacks)
+    saver = None
+    if config.path is not None:
+        from ..callback import Saver
+
+        saver = Saver(config.path, config.saving_interval)
+        callbacks.append(saver)
     data, params, fm = _prepare(trials, n_factors, config, **prep_kwargs)
 
+    initial_params = params  # pre-VEM snapshot (api.py:60 analog)
     if mesh is None:
         mesh = make_mesh()
     n_data = mesh.shape["data"]
@@ -100,6 +118,53 @@ def fit_sharded(
 
     from .mesh import _put
 
+    def _trimmed_params(p):
+        """Host view of the parameters with channel padding removed, for
+        callbacks/checkpoints (a padded checkpoint would not restore into
+        an unpadded fit)."""
+        p = jax.tree.map(jnp.asarray, to_host(p))
+        if p.active is None:
+            return p
+        return p.replace(
+            a=p.a[:, :ydim_real], b=p.b[:, :ydim_real],
+            da=p.da[:, :ydim_real], db=p.db[:, :ydim_real],
+            noise=p.noise[:ydim_real], poisson=p.poisson[:ydim_real],
+            active=None,
+        )
+
+    def _boundary(segments, params, G_seg):
+        """Iteration/block-boundary host work shared by both drivers:
+        callbacks (reference hook contract) + optional ELBO tracking on
+        the real (unpadded) segments/channels."""
+        if callbacks or _track_elbo(config):
+            p_trim = _trimmed_params(params)
+            if _track_elbo(config):
+                # host-side (uncommitted) copies: elbo_terms must not mix
+                # mesh-committed shards with the trimmed host params in one
+                # dispatch
+                seg_real = jax.tree.map(
+                    lambda x: jnp.asarray(x[:n_real_segments]),
+                    to_host(segments),
+                )
+                seg_real = seg_real.replace(
+                    y=seg_real.y[..., :ydim_real],
+                    x=seg_real.x[..., :ydim_real],
+                )
+                _elbo_record(runtime, seg_real, p_trim,
+                             jnp.asarray(to_host(G_seg)))
+            for cb in callbacks:
+                try:
+                    cb(segments, p_trim, config)
+                except RuntimeError:  # core.py:341-345 swallows these
+                    pass
+
+    def _elbo_converged():
+        if config.convergence != "elbo":
+            return False
+        e = runtime.get("elbo", [])
+        return (len(e) >= 2 and runtime["it"] >= config.min_iter
+                and abs(e[-1] - e[-2]) <= config.tol * abs(e[-1]))
+
     xinv = _put(
         np.zeros((n_factors, segments.ntrial, G_seg.shape[-1],
                   G_seg.shape[-1]), segments.mu.dtype),
@@ -124,10 +189,15 @@ def fit_sharded(
                 runtime["it"] += 1
                 runtime["em_elapsed"].append(elapsed / k)
                 norms = {key: norms_k[key][i] for key in norms_k}
-                if (_converged(norms, config.tol)
+                if (config.convergence == "norms"
+                        and _converged(norms, config.tol)
                         and runtime["it"] >= config.min_iter and not done):
                     runtime["converged_at"] = runtime["it"]
                     done = True
+            _boundary(segments, params, G_seg)
+            if _elbo_converged() and not done:
+                runtime["converged_at"] = runtime["it"]
+                done = True
             if verbose:
                 print(f"Iteration {runtime['it']}, "
                       f"EM {elapsed / k:.2f}s/it (block {k})")
@@ -143,7 +213,13 @@ def fit_sharded(
             runtime["em_elapsed"].append(time.perf_counter() - tic)
             if verbose:
                 print(f"Iteration {it + 1}, EM {runtime['em_elapsed'][-1]:.2f}s")
-            if _converged(norms, config.tol) and it + 1 >= config.min_iter:
+            _boundary(segments, params, G_seg)
+            if _elbo_converged():
+                runtime["converged_at"] = runtime["it"]
+                break
+            if (config.convergence == "norms"
+                    and _converged(norms, config.tol)
+                    and it + 1 >= config.min_iter):
                 runtime["converged_at"] = runtime["it"]
                 break
 
@@ -170,6 +246,9 @@ def fit_sharded(
     data, params = trim_channels(data, jax.tree.map(jnp.asarray, to_host(params)),
                                  ydim_real)
 
+    if saver is not None:  # final snapshot regardless of the interval
+        saver.save(data, params, config, force=True)
+
     return FitResult(
         data=data,
         params=params,
@@ -177,6 +256,6 @@ def fit_sharded(
         factor_model=fm,
         G=G_full,
         runtime=runtime,
-        initial_params=None,
+        initial_params=initial_params,
         _trials_in=trials,
     )

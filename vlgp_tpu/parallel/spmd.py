@@ -45,14 +45,17 @@ def _trialset_specs() -> TrialSet:
 
 
 def _params_specs(gp_noise: float, dt: float, rank: int,
-                  likelihood_kind: str = "mixed") -> Params:
+                  likelihood_kind: str = "mixed",
+                  has_active: bool = False) -> Params:
     """Spec pytree for Params; the scalar statics must match the instance's
-    (they ride the treedef and shard_map compares structures).  The
+    (they ride the treedef and shard_map compares structures — including
+    whether the optional ``active`` channel mask is present).  The
     field->spec mapping lives in mesh.py."""
     from .mesh import PARAMS_SPEC_FIELDS
 
     return Params(
         **PARAMS_SPEC_FIELDS,
+        active=P("model") if has_active else None,
         gp_noise=gp_noise, dt=dt, rank=rank,
         likelihood_kind=likelihood_kind,
     )
@@ -67,14 +70,16 @@ def sharded_em_step(mesh: Mesh, config: Config, data: TrialSet, params: Params):
     (review-r3: the per-call rebuild recompiled the SPMD graph every fit).
     """
     return _em_step_cached(mesh, _jit_key(config), params.gp_noise,
-                           params.dt, params.rank, params.likelihood_kind)
+                           params.dt, params.rank, params.likelihood_kind,
+                           params.active is not None)
 
 
 @functools.lru_cache(maxsize=32)
-def _em_step_cached(mesh, config, gp_noise, dt, rank, lik_kind="mixed"):
+def _em_step_cached(mesh, config, gp_noise, dt, rank, lik_kind="mixed",
+                    has_active=False):
     em = make_em_step(config, DIST, carry_xinv=True)
     dspec = _trialset_specs()
-    pspec = _params_specs(gp_noise, dt, rank, lik_kind)
+    pspec = _params_specs(gp_noise, dt, rank, lik_kind, has_active)
     norm_spec = {k: P() for k in _NORM_KEYS}
     fn = shard_map(
         em,
@@ -100,14 +105,16 @@ def sharded_em_scan(mesh: Mesh, config: Config, data: TrialSet,
     (mesh, config, k), not once per call.
     """
     return _em_scan_cached(mesh, _jit_key(config), k, params.gp_noise,
-                           params.dt, params.rank, params.likelihood_kind)
+                           params.dt, params.rank, params.likelihood_kind,
+                           params.active is not None)
 
 
 @functools.lru_cache(maxsize=32)
-def _em_scan_cached(mesh, config, k, gp_noise, dt, rank, lik_kind="mixed"):
+def _em_scan_cached(mesh, config, k, gp_noise, dt, rank, lik_kind="mixed",
+                    has_active=False):
     em = make_em_step(config, DIST, carry_xinv=True)
     dspec = _trialset_specs()
-    pspec = _params_specs(gp_noise, dt, rank, lik_kind)
+    pspec = _params_specs(gp_noise, dt, rank, lik_kind, has_active)
     norm_spec = {key: P() for key in _NORM_KEYS}
 
     def run(data, params, G, xinv):
@@ -137,14 +144,15 @@ def sharded_infer(mesh: Mesh, config: Config, data: TrialSet, params: Params,
     like :func:`sharded_em_step`."""
     n = config.max_iter if niter is None else niter
     return _infer_cached(mesh, _jit_key(config), n, params.gp_noise,
-                         params.dt, params.rank, params.likelihood_kind)
+                         params.dt, params.rank, params.likelihood_kind,
+                         params.active is not None)
 
 
 @functools.lru_cache(maxsize=32)
 def _infer_cached(mesh, config, niter, gp_noise, dt, rank,
-                  lik_kind="mixed"):
+                  lik_kind="mixed", has_active=False):
     dspec = _trialset_specs()
-    pspec = _params_specs(gp_noise, dt, rank, lik_kind)
+    pspec = _params_specs(gp_noise, dt, rank, lik_kind, has_active)
 
     def body(d, p, g):
         return estep(d, p, g, config, niter=niter, dist=DIST)

@@ -35,10 +35,20 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+import os as _os
+
 from ..config import Config, Params
 from ..data import TrialSet
 from ..ops.math import trunc_exp
 from ..ops.spd import inv_one_plus_gram, inv_one_plus_psd
+from ..ops.sweep import _sweep_pallas, sweep_fused_eligible
+from ..ops.spd import _RESID_TOL
+
+# Fused E-step sweep kernel (ops/sweep.py): the whole Eniter Newton chain
+# runs in one Pallas kernel per segment block, so the (Z, S, R, R) Woodbury
+# inverse never round-trips HBM between sweeps.  VLGP_SWEEP_FUSED=1 enables
+# it; the per-sweep composition below is the default.
+_SWEEP_FUSED = _os.environ.get("VLGP_SWEEP_FUSED", "0") == "1"
 
 __all__ = [
     "Dist",
@@ -215,17 +225,19 @@ def estep(
                                   warm_iters=config.ns_warm_iters)
         return muz, wz, vz, dmuz, X
 
-    muz = _zmajor(data.mu)
-    wz = _zmajor(data.w) * maskz
-    X0 = inv_one_plus_gram(G, wz, iters=config.ns_iters, warm=xinv,
-                           warm_iters=config.ns_warm_iters)
-    init = (muz, wz, _zmajor(data.v), _zmajor(data.dmu), X0)
-    tol = config.estep_tol
-    if tol <= 0:
-        # reference-matched fixed sweep count (core.py:65 runs Eniter
-        # sweeps unconditionally — its `tol` is read but never used)
-        muz, wz, vz, dmuz, X = lax.fori_loop(0, niter, sweep, init)
-    else:
+    def core():
+        """Per-sweep composition: one fused Gram+NS kernel dispatch per
+        sweep, the (Z, S, R, R) inverse carried through HBM between them."""
+        muz = _zmajor(data.mu)
+        wz = _zmajor(data.w) * maskz
+        X0 = inv_one_plus_gram(G, wz, iters=config.ns_iters, warm=xinv,
+                               warm_iters=config.ns_warm_iters)
+        init = (muz, wz, _zmajor(data.v), _zmajor(data.dmu), X0)
+        tol = config.estep_tol
+        if tol <= 0:
+            # reference-matched fixed sweep count (core.py:65 runs Eniter
+            # sweeps unconditionally — its `tol` is read but never used)
+            return lax.fori_loop(0, niter, sweep, init)
         # adaptive exit: stop sweeping once the Newton update stalls at
         # its fixed-point noise floor.  Measured on the flagship config,
         # the relative |dmu|/|mu| plateaus at ~6e-4 by sweep 6 of 25 and
@@ -244,7 +256,38 @@ def estep(
             i, inner = carry
             return i + 1, sweep(i, inner)
 
-        _, (muz, wz, vz, dmuz, X) = lax.while_loop(cond, body, (0, init))
+        _, out = lax.while_loop(cond, body, (0, init))
+        return out
+
+    if (_SWEEP_FUSED and sweep_fused_eligible(data, params, G, dist)
+            and jax.default_backend() != "cpu"):
+        # whole-E-step Pallas kernel (ops/sweep.py): every sweep's Woodbury
+        # inverse stays VMEM-resident; ``core`` (ending in an exact-Cholesky
+        # net) is both the non-TPU lowering and the residual-failure
+        # fallback.  CPU-default processes skip the trace entirely (same
+        # rationale as ops/spd.py's _GRAM_FUSED gate).
+        def fused():
+            res = _sweep_pallas(
+                y, xb, mask, a, params.noise, params.poisson, G,
+                _zmajor(data.mu), _zmajor(data.w), _zmajor(data.v), xinv,
+                niter=niter, tol=config.estep_tol,
+                dmu_bound=config.dmu_bound, ns_iters=config.ns_iters,
+                ns_warm_iters=config.ns_warm_iters, vb=vb,
+            )
+            resid = res[-1]
+            if dist.data is not None:
+                # the fallback branch contains data-axis psums, so the
+                # predicate must be uniform across the mesh or shard_map
+                # deadlocks on divergent branches
+                resid = lax.pmax(resid, dist.data)
+            ok = jnp.isfinite(resid) & (resid < _RESID_TOL)
+            return lax.cond(ok, lambda: res[:5], core)
+
+        muz, wz, vz, dmuz, X = lax.platform_dependent(
+            tpu=fused, default=core
+        )
+    else:
+        muz, wz, vz, dmuz, X = core()
     out = data.replace(
         mu=_zminor(muz), w=_zminor(wz), v=_zminor(vz), dmu=_zminor(dmuz)
     )

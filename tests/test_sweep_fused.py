@@ -89,6 +89,41 @@ def test_fused_sweep_carried_inverse_and_x_out():
     assert np.isfinite(np.asarray(mu2)).all()
 
 
+def test_fused_sweep_zeros_warm_start_recovers():
+    """The driver's first EM iteration carries xinv = 0 — a Newton-Schulz
+    FIXED POINT, which warm refinement can never escape.  The in-kernel
+    cold-restart net must recover instead of reporting failure (the round-3
+    scaffold tripped the whole-E-step fallback on every first iteration
+    because of this)."""
+    data, params, G, config = _problem()
+    Z, R = G.shape[0], G.shape[-1]
+    S = data.y.shape[0]
+    X0 = jnp.zeros((Z, S, R, R), jnp.float32)
+    ref = estep(data, params, G, config)
+    mu, w, v, dmu, X, resid = _run_fused(data, params, G, config, xinv=X0)
+    assert float(resid) < 1e-2
+    want = np.asarray(_zmajor(ref.mu))
+    scale = np.abs(want).max()
+    assert np.abs(np.asarray(mu) - want).max() / scale < 2e-4
+
+
+def test_fused_sweep_dead_lanes_stable():
+    """R = 50 packs gpt = 2 matrices per 128-lane tile, leaving lanes
+    100:128 DEAD (M is zero there).  A cold start that writes the scaled
+    identity across the full diagonal makes NS double the dead entries
+    every round — ~144 doublings at niter=16 overflows f32 and the 0*inf
+    NaN contaminates the whole iterate.  The masked cold start must keep
+    the run finite and converged."""
+    data, params, G, config = _problem(T=64, R=50)
+    ref = estep(data, params, G, config, niter=16)
+    mu, w, v, dmu, X, resid = _run_fused(data, params, G, config, niter=16)
+    assert np.isfinite(np.asarray(resid)), "dead-lane NaN leaked"
+    assert float(resid) < 1e-2
+    want = np.asarray(_zmajor(ref.mu))
+    scale = np.abs(want).max()
+    assert np.abs(np.asarray(mu) - want).max() / scale < 2e-4
+
+
 def test_fused_sweep_map_mode_keeps_v():
     data, params, G, config = _problem()
     v0 = _zmajor(data.v)

@@ -144,20 +144,30 @@ def _make_sweep_kernel(*, Z: int, T: int, Y: int, R: int, bs: int,
                 jnp.where(blockmask[None], jnp.abs(MX - eyeP[None]), 0.0)
             )
 
-        def ns_refine(first_iters):
-            """NS-refine xp_ref against mp_ref in place; returns the final
-            residual after (first_iters + in-kernel escalation) rounds."""
+        def cold_init():
+            # per-tile scaled-identity NS start c = 2/(1 + rowsum bound),
+            # with the diagonal masked to the valid block region: writing c
+            # on the DEAD lanes (rows >= gpt*R, where M is zero) would make
+            # NS double them every iteration — ~200 doublings per E-step
+            # overflows f32 and the resulting 0*inf = NaN contaminates the
+            # whole iterate (the round-3 scaffold's on-device failure mode)
+            Mp = mp_ref[:]
+            masked = jnp.where(blockmask[None], jnp.abs(Mp), 0.0)
+            lhat = jnp.max(jnp.sum(masked, axis=-1), axis=-1)  # (tiles,)
+            diag = (rvec == cvec) & (rvec < gpt * R)
+            return jnp.where(diag[None],
+                             (2.0 / (1.0 + lhat))[:, None, None], 0.0)
 
-            def ns(_, X):
-                MX = mm(mp_ref[:], X)
-                return mm(X, 2.0 * eyeP[None] - MX)
+        def ns(_, X):
+            MX = mm(mp_ref[:], X)
+            return mm(X, 2.0 * eyeP[None] - MX)
 
-            X = lax.fori_loop(0, first_iters, ns, xp_ref[:])
+        def _refine(X, first_iters):
+            """first_iters NS rounds + escalation net (ops/spd.py:_ns_auto):
+            two more full rounds cover condition numbers to ~1e9."""
+            X = lax.fori_loop(0, first_iters, ns, X)
             resid = block_resid(mm(mp_ref[:], X))
 
-            # escalation net (ops/spd.py:_ns_auto): two more full rounds
-            # cover condition numbers to ~1e9; anything worse trips the
-            # XLA-level whole-E-step fallback via the emitted residual
             def esc(carry):
                 X, resid, k = carry
                 X = lax.fori_loop(0, ns_iters, ns, X)
@@ -169,6 +179,21 @@ def _make_sweep_kernel(*, Z: int, T: int, Y: int, R: int, bs: int,
 
             X, resid, _ = lax.while_loop(
                 esc_cond, esc, (X, resid, jnp.int32(0))
+            )
+            return X, resid
+
+        def ns_refine(first_iters):
+            """NS-refine xp_ref against mp_ref in place; returns the final
+            residual.  A warm start that refinement cannot rescue — zeros
+            (a NS fixed point: the driver's first-iteration carry), garbage,
+            or a NaN-corrupted iterate — is restarted cold in-kernel, the
+            same net ops/spd.py:_ns_auto provides at the XLA level; only a
+            genuinely ill-conditioned M reaches the whole-E-step fallback."""
+            X, resid = _refine(xp_ref[:], first_iters)
+            X, resid = lax.cond(
+                resid < _RESID_TOL,
+                lambda: (X, resid),
+                lambda: _refine(cold_init(), ns_iters),
             )
             xp_ref[:] = X
             return resid
@@ -221,11 +246,7 @@ def _make_sweep_kernel(*, Z: int, T: int, Y: int, R: int, bs: int,
                  xp_ref)
             first = ns_warm_iters
         else:
-            # cold scaled-identity start c = 2/(1 + rowsum bound), per slot
-            Mp = mp_ref[:]
-            masked = jnp.where(blockmask[None], jnp.abs(Mp), 0.0)
-            lhat = jnp.max(jnp.sum(masked, axis=-1), axis=-1)  # (tiles,)
-            xp_ref[:] = (2.0 / (1.0 + lhat))[:, None, None] * eyeP[None]
+            xp_ref[:] = cold_init()
             first = ns_iters
         worst = ns_refine(first)
 

@@ -180,3 +180,25 @@ def test_fit_sharded_tracks_elbo():
     assert len(e) == res.runtime["it"]
     assert np.isfinite(e).all()
     assert e[-1] > e[0]
+
+
+def test_fit_sharded_hyper_interval_matches_single_device():
+    """hyper_interval under shard_map: the H-step gate is a lax.cond on
+    the replicated iteration index (uniform across devices, so its
+    data-axis psums can't deadlock) and must reproduce the single-device
+    trajectory exactly — in both per-iteration and block mode."""
+    trials, _ = _trials(seed=5)
+    kw = dict(dtype="float64", max_iter=4, min_iter=1, hyper_grid=0,
+              estep_tol=0, mstep_tol=0, hyper_interval=2, tol=1e-12)
+    mesh = make_mesh((4, 2))
+    res_m = fit_sharded(trials, 2, mesh=mesh, **kw)
+    res_1 = vlgp_tpu.fit(trials, 2, **kw)
+    assert np.abs(np.asarray(res_m.params.a) - np.asarray(res_1.params.a)).max() < 1e-6
+    assert np.abs(np.asarray(res_m.params.omega) - np.asarray(res_1.params.omega)).max() < 1e-8
+    res_mb = fit_sharded(trials, 2, mesh=mesh, block=2, **kw)
+    res_1b = vlgp_tpu.fit(trials, 2, block=2, **kw)
+    assert np.abs(np.asarray(res_mb.params.a) - np.asarray(res_1b.params.a)).max() < 1e-6
+    assert np.abs(np.asarray(res_mb.params.omega)
+                  - np.asarray(res_1b.params.omega)).max() < 1e-8
+    assert np.abs(np.asarray(res_1b.params.omega)
+                  - np.asarray(res_1.params.omega)).max() < 1e-10

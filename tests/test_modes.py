@@ -257,3 +257,30 @@ def test_elbo_convergence_criterion():
     assert r.runtime["it"] < 10
     with pytest.raises(ValueError):
         vlgp_tpu.default_config(convergence="bogus")
+
+
+def test_hyper_interval_across_driver_modes():
+    """config.hyper_interval=k runs the H-step only on EM iterations
+    0, k, 2k, ... (the reference runs it every iteration,
+    core.py:329-339).  All three drivers (host-phase loop, fused
+    single-dispatch, scanned block) must implement the same gate: the
+    host loop skips the phase_h dispatch, the fused/scan graphs take a
+    uniform lax.cond on the (replicated) iteration index."""
+    trials, _ = _poisson_trials(ntrial=3, length=80, ydim=10)
+    kw = dict(dtype="float64", max_iter=5, min_iter=5, hyper_interval=2)
+    r_host = vlgp_tpu.fit(trials, 2, **kw)
+    r_fused = vlgp_tpu.fit(trials, 2, fused=True, **kw)
+    r_block = vlgp_tpu.fit(trials, 2, block=5, **kw)
+    for r in (r_fused, r_block):
+        assert np.abs(np.asarray(r.params.a)
+                      - np.asarray(r_host.params.a)).max() < 1e-9
+        assert np.abs(np.asarray(r.params.omega)
+                      - np.asarray(r_host.params.omega)).max() < 1e-12
+    # the H-step did run (omega left its init) ...
+    om0 = np.asarray(r_host.initial_params.omega)
+    assert np.abs(np.asarray(r_host.params.omega) - om0).max() > 0
+    # ... but skipped iterations changed the trajectory vs every-iteration
+    r_every = vlgp_tpu.fit(trials, 2, dtype="float64", max_iter=5,
+                           min_iter=5, hyper_interval=1)
+    assert np.abs(np.asarray(r_every.params.omega)
+                  - np.asarray(r_host.params.omega)).max() > 0

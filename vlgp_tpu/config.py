@@ -87,6 +87,18 @@ class Config:
     # off-benchmark, and the pre-trust-region collapse mode (a latent
     # teleported to the omega floor, 0.9209 on seed 1) is gone.
     hyper_refines: int = 2
+    # run the H-step only on every k-th EM iteration (iteration indices
+    # 0, k, 2k, ...; the reference runs it every iteration,
+    # core.py:329-339).  Measured on the flagship config the H-step is
+    # ~32 of the 54 ms EM iteration (58%: ab_em Hstep=false 44.4 it/s vs
+    # 18.5 default), while the omega fixed point it solves moves slowly
+    # across EM iterations — most of those solves refine an
+    # already-converged value against a barely-changed posterior.  On
+    # skipped iterations omega/sigma and the prior factors are carried
+    # unchanged (a uniform lax.cond, so the scan/SPMD paths stay
+    # single-executable).  1 = reference-matched every-iteration
+    # behavior.
+    hyper_interval: int = 1
     # per-latent trust region on the accepted Aitken jump when the
     # extrapolated point is NOT polished by a third search
     # (hyper_refines <= 2): |aitken - x2| is capped at hyper_trust*|d2|

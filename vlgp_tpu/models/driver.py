@@ -55,7 +55,8 @@ def make_em_step(config: Config, dist: Dist = Dist(),
     remaining cold Newton-Schulz solve per EM iteration.
     """
 
-    def em_step(data: TrialSet, params: Params, G: jnp.ndarray, xinv=None):
+    def em_step(data: TrialSet, params: Params, G: jnp.ndarray, xinv=None,
+                it=None):
         pre = em_norms(data, params, dist)
         data, params = constrain_loading(data, params, config, dist)
         if carry_xinv:
@@ -66,9 +67,22 @@ def make_em_step(config: Config, dist: Dist = Dist(),
         data, params = constrain_latent(data, params, config, dist)
         params = mstep(data, params, config, dist=dist)
         if config.Hstep:
-            params = hstep(data, params, config, dist, rank=G.shape[-1],
-                           xinv=xinv)
-            G = make_cholesky(data.nbin, params, rank=G.shape[-1])
+            interval = max(1, int(config.hyper_interval))
+
+            def _h(p, g):
+                p = hstep(data, p, config, dist, rank=g.shape[-1],
+                          xinv=xinv)
+                return p, make_cholesky(data.nbin, p, rank=g.shape[-1])
+
+            if interval > 1 and it is not None:
+                # uniform predicate (the iteration index is replicated),
+                # so shard_mapped devices take the same branch and the
+                # H-step's data-axis psums can't deadlock
+                params, G = lax.cond(
+                    it % interval == 0, _h, lambda p, g: (p, g), params, G
+                )
+            else:
+                params, G = _h(params, G)
         post = em_norms(data, params, dist)
         norms = dict(
             mu=pre["mu"], a=pre["a"], b=pre["b"],
@@ -151,14 +165,14 @@ def _scan_em_jit(config: Config, k: int, dist: Dist = Dist()):
     em = make_em_step(config, dist, carry_xinv=True)
 
     @jax.jit
-    def run(data, params, G, xinv):
-        def body(carry, _):
+    def run(data, params, G, xinv, it0=0):
+        def body(carry, i):
             data, params, G, xinv = carry
-            data, params, G, norms, xinv = em(data, params, G, xinv)
+            data, params, G, norms, xinv = em(data, params, G, xinv, it=i)
             return (data, params, G, xinv), norms
 
         (data, params, G, xinv), norms = lax.scan(
-            body, (data, params, G, xinv), None, length=k
+            body, (data, params, G, xinv), it0 + jnp.arange(k)
         )
         return data, params, G, xinv, norms
 
@@ -246,6 +260,7 @@ def vem(
 
     runtime = {"it": 0, "e_elapsed": [], "m_elapsed": [], "h_elapsed": [], "em_elapsed": []}
     xinv = xinv_zeros(data, G)
+    interval = max(1, int(config.hyper_interval))
 
     for it in range(config.max_iter):
         runtime["it"] += 1
@@ -264,9 +279,10 @@ def vem(
         runtime["m_elapsed"].append(time.perf_counter() - tic)
 
         tic = time.perf_counter()
-        with annotate("vlgp:hstep"):
-            params, G = phase_h(data, params, G, xinv)
-            jax.block_until_ready(params.omega)
+        if it % interval == 0:  # host-side hyper_interval gate
+            with annotate("vlgp:hstep"):
+                params, G = phase_h(data, params, G, xinv)
+                jax.block_until_ready(params.omega)
         runtime["h_elapsed"].append(time.perf_counter() - tic)
 
         runtime["em_elapsed"].append(time.perf_counter() - tic_em)
@@ -303,10 +319,14 @@ def _vem_fused(data, params, G, config, callbacks, verbose):
     runtime = {"it": 0, "e_elapsed": [], "m_elapsed": [], "h_elapsed": [],
                "em_elapsed": []}
     xinv = xinv_zeros(data, G)
+    interval = max(1, int(config.hyper_interval))
     for it in range(config.max_iter):
         runtime["it"] += 1
         tic = time.perf_counter()
-        data, params, G, norms, xinv = em(data, params, G, xinv)
+        if interval > 1:
+            data, params, G, norms, xinv = em(data, params, G, xinv, it)
+        else:
+            data, params, G, norms, xinv = em(data, params, G, xinv)
         norms = {k: float(v) for k, v in norms.items()}
         runtime["em_elapsed"].append(time.perf_counter() - tic)
         if verbose:
@@ -335,7 +355,8 @@ def _vem_scan(data, params, G, config, callbacks, verbose, block):
         k = min(block, config.max_iter - runtime["it"])
         step = run if k == block else _scan_em_jit(_jit_key(config), k)
         tic = time.perf_counter()
-        data, params, G, xinv, norms_k = step(data, params, G, xinv)
+        data, params, G, xinv, norms_k = step(data, params, G, xinv,
+                                              runtime["it"])
         norms_k = {key: list(map(float, v)) for key, v in norms_k.items()}
         elapsed = time.perf_counter() - tic
         for i in range(k):

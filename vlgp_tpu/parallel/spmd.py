@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
@@ -81,10 +82,23 @@ def _em_step_cached(mesh, config, gp_noise, dt, rank, lik_kind="mixed",
     dspec = _trialset_specs()
     pspec = _params_specs(gp_noise, dt, rank, lik_kind, has_active)
     norm_spec = {k: P() for k in _NORM_KEYS}
+    if config.hyper_interval > 1:
+        # the step additionally takes the (replicated) iteration index so
+        # the in-graph hyper_interval cond can gate the H-step; the
+        # predicate is uniform across devices, so the H-step's data-axis
+        # psums can't deadlock
+        def stepped(data, params, G, xinv, it):
+            return em(data, params, G, xinv, it=it)
+
+        in_specs = (dspec, pspec, P(), _XINV_SPEC, P())
+        body = stepped
+    else:
+        in_specs = (dspec, pspec, P(), _XINV_SPEC)
+        body = em
     fn = shard_map(
-        em,
+        body,
         mesh=mesh,
-        in_specs=(dspec, pspec, P(), _XINV_SPEC),
+        in_specs=in_specs,
         out_specs=(dspec, pspec, P(), norm_spec, _XINV_SPEC),
         check_vma=False,
     )
@@ -116,22 +130,35 @@ def _em_scan_cached(mesh, config, k, gp_noise, dt, rank, lik_kind="mixed",
     dspec = _trialset_specs()
     pspec = _params_specs(gp_noise, dt, rank, lik_kind, has_active)
     norm_spec = {key: P() for key in _NORM_KEYS}
+    with_it = config.hyper_interval > 1
 
-    def run(data, params, G, xinv):
-        def body(carry, _):
+    def _scan(data, params, G, xinv, it0):
+        def body(carry, i):
             d, p, g, xv = carry
-            d, p, g, norms, xv = em(d, p, g, xv)
+            d, p, g, norms, xv = em(d, p, g, xv,
+                                    it=i if with_it else None)
             return (d, p, g, xv), norms
 
         (data, params, G, xinv), norms = lax.scan(
-            body, (data, params, G, xinv), None, length=k
+            body, (data, params, G, xinv), it0 + jnp.arange(k)
         )
         return data, params, G, xinv, norms
+
+    if with_it:
+        # extra (replicated) block-start iteration index, as in
+        # _em_step_cached
+        run = _scan
+        in_specs = (dspec, pspec, P(), _XINV_SPEC, P())
+    else:
+        def run(data, params, G, xinv):
+            return _scan(data, params, G, xinv, 0)
+
+        in_specs = (dspec, pspec, P(), _XINV_SPEC)
 
     fn = shard_map(
         run,
         mesh=mesh,
-        in_specs=(dspec, pspec, P(), _XINV_SPEC),
+        in_specs=in_specs,
         out_specs=(dspec, pspec, P(), _XINV_SPEC, norm_spec),
         check_vma=False,
     )

@@ -195,6 +195,10 @@ def test_fit_sharded_hyper_interval_matches_single_device():
     res_1 = vlgp_tpu.fit(trials, 2, **kw)
     assert np.abs(np.asarray(res_m.params.a) - np.asarray(res_1.params.a)).max() < 1e-6
     assert np.abs(np.asarray(res_m.params.omega) - np.asarray(res_1.params.omega)).max() < 1e-8
+    # max_iter=4 exits on it=3, whose H-step was skipped: both paths must
+    # have run the closing H-step (ADVICE-r4) to reach the equality above
+    assert res_1.runtime.get("final_hstep") is True
+    assert res_m.runtime.get("final_hstep") is True
     res_mb = fit_sharded(trials, 2, mesh=mesh, block=2, **kw)
     res_1b = vlgp_tpu.fit(trials, 2, block=2, **kw)
     assert np.abs(np.asarray(res_mb.params.a) - np.asarray(res_1b.params.a)).max() < 1e-6

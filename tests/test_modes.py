@@ -284,3 +284,33 @@ def test_hyper_interval_across_driver_modes():
                            min_iter=5, hyper_interval=1)
     assert np.abs(np.asarray(r_every.params.omega)
                   - np.asarray(r_host.params.omega)).max() > 0
+    # max_iter=5 exits on it=4, which ran its H-step: no closing step
+    assert "final_hstep" not in r_host.runtime
+
+
+def test_hyper_interval_validation_and_closing_hstep():
+    """hyper_interval < 1 raises like other config validation, and when the
+    loop exits on an iteration whose H-step was skipped, every driver runs
+    one closing H-step against the final posterior
+    (runtime['final_hstep']) — the reference ends every iteration with its
+    H-step (core.py:329-339).  (Both ADVICE-r4.)"""
+    with pytest.raises(ValueError):
+        vlgp_tpu.default_config(hyper_interval=0)
+    with pytest.raises(ValueError):
+        vlgp_tpu.default_config(hyper_interval=-3)
+
+    trials, _ = _poisson_trials(ntrial=3, length=80, ydim=10)
+    # max_iter=4, interval=2: in-loop H-steps at it 0 and 2, exit at it=3
+    # (skipped) -> the closing H-step fires in all three driver modes and
+    # they agree exactly (same phase_h executable, same carried xinv)
+    kw = dict(dtype="float64", max_iter=4, min_iter=4, hyper_interval=2)
+    r_host = vlgp_tpu.fit(trials, 2, **kw)
+    assert r_host.runtime.get("final_hstep") is True
+    r_fused = vlgp_tpu.fit(trials, 2, fused=True, **kw)
+    r_block = vlgp_tpu.fit(trials, 2, block=4, **kw)
+    for r in (r_fused, r_block):
+        assert r.runtime.get("final_hstep") is True
+        assert np.abs(np.asarray(r.params.omega)
+                      - np.asarray(r_host.params.omega)).max() < 1e-12
+        assert np.abs(np.asarray(r.params.sigma)
+                      - np.asarray(r_host.params.sigma)).max() < 1e-12

@@ -96,8 +96,12 @@ class Config:
     # already-converged value against a barely-changed posterior.  On
     # skipped iterations omega/sigma and the prior factors are carried
     # unchanged (a uniform lax.cond, so the scan/SPMD paths stay
-    # single-executable).  1 = reference-matched every-iteration
-    # behavior.
+    # single-executable).  If the loop exits (convergence or max_iter) on
+    # an iteration whose H-step was skipped, the drivers run one closing
+    # H-step against the final posterior (runtime["final_hstep"] = True),
+    # so the returned omega/sigma are never stale — the reference always
+    # ends an iteration with its H-step (core.py:329-339).
+    # 1 = reference-matched every-iteration behavior.
     hyper_interval: int = 1
     # per-latent trust region on the accepted Aitken jump when the
     # extrapolated point is NOT polished by a third search
@@ -194,6 +198,10 @@ class Config:
             raise ValueError("window must be a positive int or None")
         if self.max_iter < 1:
             raise ValueError("max_iter must be >= 1")
+        if self.hyper_interval < 1:
+            raise ValueError(
+                f"hyper_interval must be >= 1, got {self.hyper_interval}"
+            )
         if self.convergence not in ("norms", "elbo"):
             raise ValueError(
                 f"convergence must be 'norms' or 'elbo', got {self.convergence!r}"

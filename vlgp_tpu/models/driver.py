@@ -215,6 +215,29 @@ def _elbo_record(runtime: dict, data, params, G) -> None:
     runtime.setdefault("elbo_terms", []).append(terms)
 
 
+def _final_hstep(data, params, G, xinv, config: Config, runtime: dict):
+    """Closing H-step for ``hyper_interval > 1`` (ADVICE-r4).
+
+    When the loop exits (convergence or ``max_iter``) on an iteration whose
+    H-step was skipped, the returned omega/sigma were last refreshed up to
+    ``interval - 1`` iterations earlier against a stale posterior; the
+    reference always ends an iteration with its H-step (core.py:329-339).
+    Run one H-step against the final posterior so the returned
+    hyperparameters are fresh; records ``runtime["final_hstep"] = True``.
+    """
+    interval = int(config.hyper_interval)
+    if not (config.Hstep and interval > 1 and runtime["it"] > 0):
+        return params, G
+    if (runtime["it"] - 1) % interval == 0:  # last iteration ran its H-step
+        return params, G
+    phase_h = _vem_phases(_jit_key(config), data.nbin)[2]
+    with annotate("vlgp:hstep"):
+        params, G = phase_h(data, params, G, xinv)
+        jax.block_until_ready(params.omega)
+    runtime["final_hstep"] = True
+    return params, G
+
+
 def _iter_converged(runtime: dict, norms, config: Config) -> bool:
     """Dispatch the convergence test per config.convergence: the
     reference's relative-update-norms check (core.py:350-359), or an ELBO
@@ -311,6 +334,7 @@ def vem(
             runtime["converged_at"] = runtime["it"]
             break
 
+    params, G = _final_hstep(data, params, G, xinv, config, runtime)
     return data, params, G, runtime
 
 
@@ -342,6 +366,7 @@ def _vem_fused(data, params, G, config, callbacks, verbose):
         if _iter_converged(runtime, norms, config) and it + 1 >= config.min_iter:
             runtime["converged_at"] = runtime["it"]
             break
+    params, G = _final_hstep(data, params, G, xinv, config, runtime)
     return data, params, G, runtime
 
 
@@ -387,6 +412,7 @@ def _vem_scan(data, params, G, config, callbacks, verbose, block):
                 cb(data, params, config)
             except RuntimeError:
                 pass
+    params, G = _final_hstep(data, params, G, xinv, config, runtime)
     return data, params, G, runtime
 
 

@@ -182,19 +182,24 @@ def _make_sweep_kernel(*, Z: int, T: int, Y: int, R: int, bs: int,
             )
             return X, resid
 
-        def ns_refine(first_iters):
+        def ns_refine(first_iters, was_warm=True):
             """NS-refine xp_ref against mp_ref in place; returns the final
             residual.  A warm start that refinement cannot rescue — zeros
             (a NS fixed point: the driver's first-iteration carry), garbage,
             or a NaN-corrupted iterate — is restarted cold in-kernel, the
             same net ops/spd.py:_ns_auto provides at the XLA level; only a
-            genuinely ill-conditioned M reaches the whole-E-step fallback."""
+            genuinely ill-conditioned M reaches the whole-E-step fallback.
+            ``was_warm=False`` (the initial no-carry call, which already
+            starts from cold_init) skips the restart: re-running the
+            identical cold refine could not produce a different result
+            (ADVICE-r4)."""
             X, resid = _refine(xp_ref[:], first_iters)
-            X, resid = lax.cond(
-                resid < _RESID_TOL,
-                lambda: (X, resid),
-                lambda: _refine(cold_init(), ns_iters),
-            )
+            if was_warm:
+                X, resid = lax.cond(
+                    resid < _RESID_TOL,
+                    lambda: (X, resid),
+                    lambda: _refine(cold_init(), ns_iters),
+                )
             xp_ref[:] = X
             return resid
 
@@ -248,7 +253,7 @@ def _make_sweep_kernel(*, Z: int, T: int, Y: int, R: int, bs: int,
         else:
             xp_ref[:] = cold_init()
             first = ns_iters
-        worst = ns_refine(first)
+        worst = ns_refine(first, was_warm=has_x)
 
         def sweep(state):
             mu, w, v, dmu, worst, i, nd, nm = state

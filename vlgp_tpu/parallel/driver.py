@@ -233,6 +233,23 @@ def fit_sharded(
                 runtime["converged_at"] = runtime["it"]
                 break
 
+    interval = int(config.hyper_interval)
+    if (config.Hstep and interval > 1 and runtime["it"] > 0
+            and (runtime["it"] - 1) % interval != 0):
+        # closing H-step (ADVICE-r4, mirroring models/driver._final_hstep):
+        # the loop exited on an iteration whose H-step was skipped, so
+        # omega/sigma are up to interval-1 iterations stale against the
+        # final posterior.  One host-side H-step over the gathered segments
+        # computes exactly the global pooled statistic the in-loop sharded
+        # H-step psums (padded segments are mask-inert in both).
+        from ..models.gp import hstep
+
+        seg_h = jax.tree.map(jnp.asarray, to_host(segments))
+        p_h = jax.tree.map(jnp.asarray, to_host(params))
+        p_h = hstep(seg_h, p_h, config, rank=G_seg.shape[-1])
+        params = replicate(p_h, mesh)
+        runtime["final_hstep"] = True
+
     # gather the trained posterior back into the full trials
     seg_host = to_host(segments)
     seg_trim = jax.tree.map(lambda x: x[:n_real_segments], seg_host)

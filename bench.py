@@ -260,12 +260,12 @@ def bench_mesh(shapes, iters=5, out_path=None):
         params_r, G_r = replicate((params_s, G), mesh)
         em = sharded_em_scan(mesh, config, seg_s, params_r, iters)
         xv = xinv_zeros(seg_s, G_r)
-        dd, pp, gg, xvv, _ = em(seg_s, params_r, G_r, xv)  # compile+warm
+        dd, pp, gg, xvv, _ = em(seg_s, params_r, G_r, xv, 0)  # compile+warm
         float(jnp.sum(pp.a))
 
         def run():
             t0 = time.perf_counter()
-            d2, p2, g2, x2, _ = em(dd, pp, gg, xvv)
+            d2, p2, g2, x2, _ = em(dd, pp, gg, xvv, iters)
             assert np.isfinite(float(jnp.sum(p2.a)) + float(jnp.sum(d2.mu)))
             return (time.perf_counter() - t0) / iters
 

@@ -70,7 +70,7 @@ def _lowered_em_step(shape):
     params_s, G_s = replicate((params, G), mesh)
     step = sharded_em_step(mesh, config, seg_s, params_s)
     xv = xinv_zeros(seg_s, G_s)
-    return _counts(step.lower(seg_s, params_s, G_s, xv).as_text())
+    return _counts(step.lower(seg_s, params_s, G_s, xv, 0).as_text())
 
 
 def test_collective_count_independent_of_mesh_size():
@@ -112,5 +112,5 @@ def test_scan_block_adds_no_collectives():
     texts = []
     for k in (1, 3):
         em = sharded_em_scan(mesh, config, seg_s, params_s, k)
-        texts.append(_counts(em.lower(seg_s, params_s, G_s, xv).as_text()))
+        texts.append(_counts(em.lower(seg_s, params_s, G_s, xv, 0).as_text()))
     assert texts[0] == texts[1], texts

@@ -70,10 +70,11 @@ def _run_ref(trials, a, b, n_iter, hstep):
 
 
 def _run_ours(trials, a, b, n_iter, hstep):
-    # estep_tol=0: trajectory parity with the reference requires its
-    # fixed sweep count
+    # estep_tol=0 / hyper_interval=1: trajectory parity with the reference
+    # requires its fixed sweep count and its every-iteration H-step
     config = default_config(dtype="float64", max_iter=n_iter, min_iter=n_iter,
-                            Hstep=hstep, window=T, estep_tol=0, mstep_tol=0)
+                            Hstep=hstep, window=T, estep_tol=0, mstep_tol=0,
+                            hyper_interval=1)
     params = make_params(Y, Z, 1, "poisson", a=a, b=b,
                          omega=np.full(Z, 1e-2), dtype=jnp.float64)
     data = pack_trials(trials, Z, 1, dtype=np.float64)

@@ -62,7 +62,9 @@ def test_sharded_em_step_matches_single_device(shape):
     params_s, G_s = replicate((params, G), mesh)
     step = sharded_em_step(mesh, config, seg_s, params_s)
     xv = xinv_zeros(seg_s, G_s)
-    d2, p2, G2, n2, _ = step(seg_s, params_s, G_s, xv)
+    # it=0: first EM iteration, so the hyper_interval cond takes the
+    # H-step branch — matching the it=None single-device reference call
+    d2, p2, G2, n2, _ = step(seg_s, params_s, G_s, xv, 0)
 
     assert np.abs(np.asarray(p1.a) - np.asarray(p2.a)).max() < 1e-8
     assert np.abs(np.asarray(p1.b) - np.asarray(p2.b)).max() < 1e-8
@@ -97,6 +99,6 @@ def test_masked_pad_segments_are_inert():
     params_s, G_s = replicate((params, G), mesh)
     step_a = sharded_em_step(mesh, config, seg_a, params_s)
     step_b = sharded_em_step(mesh, config, seg_b, params_s)
-    _, pa, _, _, _ = step_a(seg_a, params_s, G_s, xinv_zeros(seg_a, G_s))
-    _, pb, _, _, _ = step_b(seg_b, params_s, G_s, xinv_zeros(seg_b, G_s))
+    _, pa, _, _, _ = step_a(seg_a, params_s, G_s, xinv_zeros(seg_a, G_s), 0)
+    _, pb, _, _, _ = step_b(seg_b, params_s, G_s, xinv_zeros(seg_b, G_s), 0)
     assert np.abs(np.asarray(pa.a) - np.asarray(pb.a)).max() < 1e-9

@@ -42,6 +42,9 @@ def main(iters=10, reps=4):
             kw[k] = json.loads(v)
         except json.JSONDecodeError:
             kw[k] = v
+    # harness knobs (not Config fields): scan-block length and repetitions
+    iters = int(kw.pop("iters", iters))
+    reps = int(kw.pop("reps", reps))
     trials, a, zt = bench.make_workload()
     config = default_config(**kw)
     params = make_params(

@@ -91,8 +91,8 @@ class Config:
     # 0, k, 2k, ...; the reference runs it every iteration,
     # core.py:329-339).  Measured on the flagship config the H-step is
     # ~32 of the 54 ms EM iteration (58%: ab_em Hstep=false 44.4 it/s vs
-    # 18.5 default), while the omega fixed point it solves moves slowly
-    # across EM iterations — most of those solves refine an
+    # 18.5 at interval=1), while the omega fixed point it solves moves
+    # slowly across EM iterations — most of those solves refine an
     # already-converged value against a barely-changed posterior.  On
     # skipped iterations omega/sigma and the prior factors are carried
     # unchanged (a uniform lax.cond, so the scan/SPMD paths stay
@@ -101,8 +101,16 @@ class Config:
     # H-step against the final posterior (runtime["final_hstep"] = True),
     # so the returned omega/sigma are never stale — the reference always
     # ends an iteration with its H-step (core.py:329-339).
-    # 1 = reference-matched every-iteration behavior.
-    hyper_interval: int = 1
+    # Default 2: +26% EM throughput (23.3 vs 18.4 it/s flagship), and
+    # quality-scored ABOVE both the reference and interval=1 on every
+    # measured draw (r5, self-tuned R^2, ours-at-2 / ours-at-1 / ref):
+    # tutorial head-to-head 0.9264/0.9247/0.9212; independent draws
+    # seed 1: 0.9335/0.9297/0.9247, seed 2: 0.9253/0.9201/0.9240,
+    # seed 3: 0.9121/0.9111/0.9113 — halving the H-step cadence lets
+    # each omega update see a more-converged posterior, which is mildly
+    # MORE robust, not less.  1 = reference-matched every-iteration
+    # behavior (exact-parity tests pin this).
+    hyper_interval: int = 2
     # per-latent trust region on the accepted Aitken jump when the
     # extrapolated point is NOT polished by a third search
     # (hyper_refines <= 2): |aitken - x2| is capped at hyper_trust*|d2|

@@ -179,14 +179,9 @@ def fit_sharded(
                 mesh, config, segments, params_r, k
             )
             tic = time.perf_counter()
-            if config.hyper_interval > 1:
-                segments, params, G_seg, xinv, norms_k = step(
-                    segments, params, G_seg, xinv, runtime["it"]
-                )
-            else:
-                segments, params, G_seg, xinv, norms_k = step(
-                    segments, params, G_seg, xinv
-                )
+            segments, params, G_seg, xinv, norms_k = step(
+                segments, params, G_seg, xinv, runtime["it"]
+            )
             # ONE host sync per block: the stacked norms readback
             norms_k = {key: list(map(float, v)) for key, v in norms_k.items()}
             elapsed = time.perf_counter() - tic
@@ -211,14 +206,9 @@ def fit_sharded(
         for it in range(config.max_iter):
             runtime["it"] += 1
             tic = time.perf_counter()
-            if config.hyper_interval > 1:
-                segments, params, G_seg, norms, xinv = step(
-                    segments, params, G_seg, xinv, it
-                )
-            else:
-                segments, params, G_seg, norms, xinv = step(
-                    segments, params, G_seg, xinv
-                )
+            segments, params, G_seg, norms, xinv = step(
+                segments, params, G_seg, xinv, it
+            )
             norms = {k: float(v) for k, v in norms.items()}
             runtime["em_elapsed"].append(time.perf_counter() - tic)
             if verbose:

@@ -65,10 +65,15 @@ def _params_specs(gp_noise: float, dt: float, rank: int,
 def sharded_em_step(mesh: Mesh, config: Config, data: TrialSet, params: Params):
     """Build a jitted, shard_mapped EM step bound to ``mesh``.
 
-    Returns a function (data, params, G, xinv) -> (data, params, G, norms,
-    xinv).  Cached on (mesh, config, params statics): repeated
-    ``fit_sharded`` calls at the same mesh/config reuse the executable
-    (review-r3: the per-call rebuild recompiled the SPMD graph every fit).
+    Returns a function (data, params, G, xinv, it) -> (data, params, G,
+    norms, xinv); ``it`` is the (replicated) EM iteration index feeding the
+    in-graph ``hyper_interval`` cond — the predicate is uniform across
+    devices, so the H-step's data-axis psums can't deadlock.  (With
+    ``hyper_interval=1`` the index is a dead operand; the signature stays
+    fixed so callers never depend on the config.)  Cached on (mesh, config,
+    params statics): repeated ``fit_sharded`` calls at the same mesh/config
+    reuse the executable (review-r3: the per-call rebuild recompiled the
+    SPMD graph every fit).
     """
     return _em_step_cached(mesh, _jit_key(config), params.gp_noise,
                            params.dt, params.rank, params.likelihood_kind,
@@ -82,23 +87,15 @@ def _em_step_cached(mesh, config, gp_noise, dt, rank, lik_kind="mixed",
     dspec = _trialset_specs()
     pspec = _params_specs(gp_noise, dt, rank, lik_kind, has_active)
     norm_spec = {k: P() for k in _NORM_KEYS}
-    if config.hyper_interval > 1:
-        # the step additionally takes the (replicated) iteration index so
-        # the in-graph hyper_interval cond can gate the H-step; the
-        # predicate is uniform across devices, so the H-step's data-axis
-        # psums can't deadlock
-        def stepped(data, params, G, xinv, it):
-            return em(data, params, G, xinv, it=it)
+    with_it = config.hyper_interval > 1
 
-        in_specs = (dspec, pspec, P(), _XINV_SPEC, P())
-        body = stepped
-    else:
-        in_specs = (dspec, pspec, P(), _XINV_SPEC)
-        body = em
+    def stepped(data, params, G, xinv, it):
+        return em(data, params, G, xinv, it=it if with_it else None)
+
     fn = shard_map(
-        body,
+        stepped,
         mesh=mesh,
-        in_specs=in_specs,
+        in_specs=(dspec, pspec, P(), _XINV_SPEC, P()),
         out_specs=(dspec, pspec, P(), norm_spec, _XINV_SPEC),
         check_vma=False,
     )
@@ -114,7 +111,10 @@ def sharded_em_scan(mesh: Mesh, config: Config, data: TrialSet,
     and every norms readback is a cross-host sync; scanning k steps per
     dispatch amortizes both (VERDICT-r2 item 6).  Per-step norms come back
     stacked (k,) so the host still sees every iteration's convergence
-    numbers at the block boundary.  Cached like :func:`sharded_em_step`,
+    numbers at the block boundary.  The returned function takes
+    (data, params, G, xinv, it0) with ``it0`` the (replicated) block-start
+    iteration index (dead operand at ``hyper_interval=1``; fixed signature,
+    as in :func:`sharded_em_step`).  Cached like :func:`sharded_em_step`,
     so the tail block of a ``max_iter % block != 0`` fit compiles once per
     (mesh, config, k), not once per call.
     """
@@ -144,21 +144,10 @@ def _em_scan_cached(mesh, config, k, gp_noise, dt, rank, lik_kind="mixed",
         )
         return data, params, G, xinv, norms
 
-    if with_it:
-        # extra (replicated) block-start iteration index, as in
-        # _em_step_cached
-        run = _scan
-        in_specs = (dspec, pspec, P(), _XINV_SPEC, P())
-    else:
-        def run(data, params, G, xinv):
-            return _scan(data, params, G, xinv, 0)
-
-        in_specs = (dspec, pspec, P(), _XINV_SPEC)
-
     fn = shard_map(
-        run,
+        _scan,
         mesh=mesh,
-        in_specs=in_specs,
+        in_specs=(dspec, pspec, P(), _XINV_SPEC, P()),
         out_specs=(dspec, pspec, P(), _XINV_SPEC, norm_spec),
         check_vma=False,
     )

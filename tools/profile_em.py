@@ -91,10 +91,14 @@ def main():
     args = ap.parse_args()
 
     seg, params, G, config = setup()
-    em = jax.jit(make_em_step(config, carry_xinv=True))
+    raw = make_em_step(config, carry_xinv=True)
+    # thread the iteration index so the profiled cadence matches the
+    # shipped default (hyper_interval=2: trace shows one H-on and one
+    # H-off iteration); the index rides the in-graph uniform cond
+    em = jax.jit(lambda d, p, g, xv, it: raw(d, p, g, xv, it=it))
 
     xv0 = xinv_zeros(seg, G)
-    lowered = em.lower(seg, params, G, xv0)
+    lowered = em.lower(seg, params, G, xv0, 0)
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
@@ -103,22 +107,22 @@ def main():
     hbm_bytes = cost.get("bytes accessed", float("nan"))
 
     # warm up
-    d, p, g, _, xv = em(seg, params, G, xv0)
+    d, p, g, _, xv = em(seg, params, G, xv0, 0)
     float(jnp.sum(p.a))
 
     # timed run (chained, one readback)
     t0 = time.perf_counter()
     dd, pp, gg, xx = d, p, g, xv
-    for _ in range(args.iters):
-        dd, pp, gg, _, xx = em(dd, pp, gg, xx)
+    for i in range(args.iters):
+        dd, pp, gg, _, xx = em(dd, pp, gg, xx, i)
     float(jnp.sum(pp.a)) + float(jnp.sum(dd.mu))
     per_iter = (time.perf_counter() - t0) / args.iters
 
     # traced run
     with jax.profiler.trace(args.outdir):
         dd, pp, gg, xx = d, p, g, xv
-        for _ in range(2):
-            dd, pp, gg, _, xx = em(dd, pp, gg, xx)
+        for i in range(2):
+            dd, pp, gg, _, xx = em(dd, pp, gg, xx, i)
         float(jnp.sum(pp.a))
 
     print(f"per-EM-iter: {per_iter*1e3:.1f} ms  ({1/per_iter:.3f} it/s)")

@@ -143,6 +143,14 @@ def main():
             "Collected by `python tools/profile_em.py` (jax.profiler trace "
             "of 2 EM iterations; raw trace under the --outdir).",
             "",
+            "NOTE on the wall figure: this probe dispatches each EM "
+            "iteration separately through a REMOTE-ATTACHED TPU (axon "
+            "tunnel), so wall - device is tunnel dispatch/readback latency, "
+            "not compute, and wall figures are not comparable across "
+            "collection environments.  Compare the device-time line across "
+            "rounds; bench.py (scan driver, 10 iterations per dispatch) is "
+            "the honest wall-clock number.",
+            "",
             f"- per-EM-iteration wall: {per_iter*1e3:.1f} ms "
             f"({1/per_iter:.2f} it/s)",
             f"- device (XLA module) time: {modtot/2:.1f} ms/iter",

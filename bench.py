@@ -251,7 +251,7 @@ def bench_mesh(shapes, iters=5, out_path=None):
 
     results = []
     for d_ax, m_ax in shapes:
-        mesh = make_mesh((d_ax, m_ax))
+        mesh = make_mesh((d_ax, m_ax), devices=jax.devices()[: d_ax * m_ax])
         seg_s = pad_segments(seg, d_ax)
         seg_s, params_s = (seg_s, params) if ydim % m_ax == 0 else \
             pad_channels(seg_s, params, m_ax)
@@ -286,9 +286,25 @@ def bench_mesh(shapes, iters=5, out_path=None):
         print(json.dumps(rec))
     if out_path:
         base = results[0]["em_iters_per_sec"]
+        note = None
+        if results and results[0]["platform"] == "cpu":
+            import os as _os
+
+            note = (
+                f"virtual CPU mesh on {_os.cpu_count()} host core(s): all "
+                "'devices' time-share the host, so absolute it/s and "
+                "speedup_vs_first measure the virtual mesh, NOT ICI "
+                "scaling.  The collective-placement signal is that k-device "
+                "meshes stay near the 1-device rate despite k-way "
+                "time-slicing (total work is constant, collectives O(1) "
+                "per iteration — see tests/test_collectives.py); on real "
+                "multi-chip hardware the same dispatch path applies "
+                "unchanged."
+            )
         pathlib.Path(out_path).write_text(json.dumps({
             "workload": f"{ntrial}x{length}x{ydim}x{zdim}, window 50, "
                         f"block {iters}",
+            "note": note,
             "results": results,
             "speedup_vs_first": [
                 round(r["em_iters_per_sec"] / base, 3) for r in results
@@ -315,6 +331,15 @@ def _mesh_main(argv):
 
     import jax
 
+    if os.environ.get("VLGP_BENCH_MESH_CHILD"):
+        # the JAX_PLATFORMS env var is ineffective when a site hook
+        # pre-imports jax and pins jax_platforms itself; force the CPU
+        # platform through the config API before the first device query
+        # (same pattern as tests/conftest.py and __graft_entry__.py)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     if len(jax.devices()) < need:
         if os.environ.get("VLGP_BENCH_MESH_CHILD"):
             raise SystemExit(f"still only {len(jax.devices())} devices in "

@@ -17,21 +17,23 @@ from vlgp_tpu.models.vlgp import update_w
 
 # recorded from the round-1 implementation (f64 CPU, seeds below);
 # re-pinned round 3 when the H-step grid scan (hyper_grid=13) and
-# profiled-sigma learning (hyper_learn_sigma) became the defaults, and
-# again round 4 when hyper_refines=2 (trust-region-clamped Aitken accept,
-# re-scored at parity with the 3-refine polish) became the default — mu/a
-# norms at iters 1-2 are bit-identical to the round-1 lineage, the
-# omega/sigma trajectories differ through the H-step changes.
+# profiled-sigma learning (hyper_learn_sigma) became the defaults,
+# round 4 when hyper_refines=2 (trust-region-clamped Aitken accept,
+# re-scored at parity with the 3-refine polish) became the default, and
+# round 5 when estep_tol=3e-3 became the default (the E-step trip count
+# changes on this workload; quality scored at parity across all four
+# draws, see config.py) — the iter-1 mu/a norms are bit-identical to the
+# round-1 lineage, later values differ through the E/H-step changes.
 PINNED = {
     1: dict(mu=1.1626145339e01, a=3.3992684664e00,
-            omega=(9.5229154213e-03, 9.7150662437e-03),
-            sigma=(1.0294138839e00, 1.0175710963e00)),
-    2: dict(mu=1.0147477295e03, a=1.2228886065e00,
-            omega=(9.5139237534e-03, 9.6631975875e-03),
-            sigma=(1.0200997057e00, 1.0173714728e00)),
-    3: dict(mu=1.1135330806e03, a=1.2238827966e00,
-            omega=(9.3777936278e-03, 9.5846053835e-03),
-            sigma=(1.0218380132e00, 1.0193923564e00)),
+            omega=(9.5229154213e-03, 9.7148844468e-03),
+            sigma=(1.0294178887e00, 1.0175820439e00)),
+    2: dict(mu=1.0149070116e03, a=1.2227973037e00,
+            omega=(9.5140337855e-03, 9.6630545207e-03),
+            sigma=(1.0200966589e00, 1.0173759538e00)),
+    3: dict(mu=1.1135698543e03, a=1.2238562100e00,
+            omega=(9.3780814452e-03, 9.5843112278e-03),
+            sigma=(1.0218232261e00, 1.0194071084e00)),
 }
 
 

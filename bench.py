@@ -264,8 +264,12 @@ def bench_mesh(shapes, iters=5, out_path=None):
         float(jnp.sum(pp.a))
 
         def run():
+            # it0=0: every timed block sees the same H-step cadence as the
+            # warm block and the single-chip headline bench (an odd it0
+            # with hyper_interval=2 would time an H-light block and
+            # overstate absolute throughput ~5-10%)
             t0 = time.perf_counter()
-            d2, p2, g2, x2, _ = em(dd, pp, gg, xvv, iters)
+            d2, p2, g2, x2, _ = em(dd, pp, gg, xvv, 0)
             assert np.isfinite(float(jnp.sum(p2.a)) + float(jnp.sum(d2.mu)))
             return (time.perf_counter() - t0) / iters
 

@@ -38,6 +38,20 @@ PINNED = {
 
 
 def test_em_trajectory_pinned():
+    seg, params, G, config = _setup()
+    em = jax.jit(make_em_step(config))
+
+    for it in (1, 2, 3):
+        seg, params, G, norms = em(seg, params, G)
+        pin = PINNED[it]
+        assert np.isclose(float(norms["mu"]), pin["mu"], rtol=1e-5), (it, norms)
+        assert np.isclose(float(norms["a"]), pin["a"], rtol=1e-5), (it, norms)
+        om = np.asarray(params.omega)
+        assert np.allclose(om, pin["omega"], rtol=1e-4), (it, om)
+        sg = np.asarray(params.sigma)
+        assert np.allclose(sg, pin["sigma"], rtol=1e-5), (it, sg)
+
+def _setup():
     rng = np.random.default_rng(7)
     a = rng.normal(size=(2, 10)) * 0.5
     trials = []
@@ -56,14 +70,45 @@ def test_em_trajectory_pinned():
     seg = cut_trials(data, config.window, seed=0)
     G = make_cholesky(seg.nbin, params)
     seg = update_w(seg, params, config)
-    em = jax.jit(make_em_step(config))
+    return seg, params, G, config
 
-    for it in (1, 2, 3):
-        seg, params, G, norms = em(seg, params, G)
-        pin = PINNED[it]
+
+# the same workload run THROUGH the shipped hyper_interval cadence (the
+# iteration index threaded into the in-graph cond, as every driver does):
+# iteration indices 0, 1, 2 at the default hyper_interval=2 run H, skip,
+# H.  Pins the branch test_em_trajectory_pinned cannot see — the skipped
+# iteration must carry omega/sigma BIT-identically, and the it=2 H-step
+# solves against a two-iterations-evolved posterior, landing a different
+# omega than the every-iteration trajectory above (review-r5 finding).
+PINNED_CADENCE = {
+    0: dict(mu=1.1626145339e01, a=3.3992684664e00,
+            omega=(9.5229154213e-03, 9.7148844468e-03)),
+    1: dict(mu=1.0149070116e03, a=1.2227973037e00),
+    2: dict(mu=1.1135698543e03, a=1.2238562100e00,
+            omega=(9.5298567848e-03, 9.6384049406e-03),
+            sigma=(1.0193777097e00, 1.0194038812e00)),
+}
+
+
+def test_em_trajectory_pinned_at_default_cadence():
+    seg, params, G, config = _setup()
+    raw = make_em_step(config)
+    em = jax.jit(lambda d, p, g, it: raw(d, p, g, it=it))
+
+    assert config.hyper_interval == 2  # the cadence this test pins
+    prev_om = prev_sg = None
+    for it in (0, 1, 2):
+        seg, params, G, norms = em(seg, params, G, it)
+        pin = PINNED_CADENCE[it]
         assert np.isclose(float(norms["mu"]), pin["mu"], rtol=1e-5), (it, norms)
         assert np.isclose(float(norms["a"]), pin["a"], rtol=1e-5), (it, norms)
         om = np.asarray(params.omega)
-        assert np.allclose(om, pin["omega"], rtol=1e-4), (it, om)
         sg = np.asarray(params.sigma)
-        assert np.allclose(sg, pin["sigma"], rtol=1e-5), (it, sg)
+        if it == 1:  # skipped H-step: hyperparameters carried bit-exactly
+            assert np.array_equal(om, prev_om), (om, prev_om)
+            assert np.array_equal(sg, prev_sg), (sg, prev_sg)
+        if "omega" in pin:
+            assert np.allclose(om, pin["omega"], rtol=1e-4), (it, om)
+        if "sigma" in pin:
+            assert np.allclose(sg, pin["sigma"], rtol=1e-5), (it, sg)
+        prev_om, prev_sg = om, sg

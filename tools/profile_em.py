@@ -126,12 +126,15 @@ def main():
         float(jnp.sum(pp.a))
 
     print(f"per-EM-iter: {per_iter*1e3:.1f} ms  ({1/per_iter:.3f} it/s)")
-    print(f"XLA flops/iter: {flops:.3e}   bytes/iter: {hbm_bytes:.3e}")
+    # cost_analysis counts the hyper_interval cond's H branch, so these
+    # are per H-ON iteration; the amortized per_iter divides an H-on/H-off
+    # mix -> MFU/BW below are upper bounds at interval > 1
+    print(f"XLA flops/H-on-iter: {flops:.3e}   bytes/H-on-iter: {hbm_bytes:.3e}")
     # v5e peak ~197 TFLOP/s bf16, ~98 TFLOP/s f32-ish via bf16x3;
     # use f32 number for a conservative MFU
     mfu = flops / per_iter / 98e12
-    print(f"MFU (vs 98 TF/s f32): {100*mfu:.2f}%   "
-          f"HBM BW used: {hbm_bytes/per_iter/1e9:.1f} GB/s (peak ~819)")
+    print(f"MFU upper bound (vs 98 TF/s f32): {100*mfu:.2f}%   "
+          f"HBM BW <= {hbm_bytes/per_iter/1e9:.1f} GB/s (peak ~819)")
 
     rows, modtot = top_ops_from_trace(args.outdir)
     if rows:
@@ -154,12 +157,14 @@ def main():
             f"- per-EM-iteration wall: {per_iter*1e3:.1f} ms "
             f"({1/per_iter:.2f} it/s)",
             f"- device (XLA module) time: {modtot/2:.1f} ms/iter",
-            f"- XLA-counted flops: {flops:.2e}/iter -> MFU "
+            f"- XLA-counted flops: {flops:.2e} per H-on iteration (cost "
+            "analysis counts the hyper_interval cond's H branch; H-off "
+            "iterations execute less) -> MFU upper bound "
             f"{100*flops/per_iter/98e12:.2f}% of 98 TF/s f32 "
             "(excludes flops inside the Pallas NS kernel; the step is "
             "latency/bandwidth-bound by design, not FLOP-bound)",
-            f"- HBM bytes: {hbm_bytes:.2e}/iter -> "
-            f"{hbm_bytes/per_iter/1e9:.0f} GB/s of ~819 peak",
+            f"- HBM bytes: {hbm_bytes:.2e} per H-on iteration -> "
+            f"<= {hbm_bytes/per_iter/1e9:.0f} GB/s of ~819 peak",
             "",
             "Top device ops by total self time (2 EM iterations):",
             "",

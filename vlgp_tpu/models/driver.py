@@ -343,14 +343,12 @@ def _vem_fused(data, params, G, config, callbacks, verbose):
     runtime = {"it": 0, "e_elapsed": [], "m_elapsed": [], "h_elapsed": [],
                "em_elapsed": []}
     xinv = xinv_zeros(data, G)
-    interval = max(1, int(config.hyper_interval))
     for it in range(config.max_iter):
         runtime["it"] += 1
         tic = time.perf_counter()
-        if interval > 1:
-            data, params, G, norms, xinv = em(data, params, G, xinv, it)
-        else:
-            data, params, G, norms, xinv = em(data, params, G, xinv)
+        # it rides the in-graph hyper_interval cond; at interval=1 the
+        # predicate short-circuits at trace time and the operand is dead
+        data, params, G, norms, xinv = em(data, params, G, xinv, it)
         norms = {k: float(v) for k, v in norms.items()}
         runtime["em_elapsed"].append(time.perf_counter() - tic)
         if verbose:
